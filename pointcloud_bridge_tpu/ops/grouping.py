@@ -1,0 +1,158 @@
+"""Neighborhood grouping ops: ball query, kNN, sample-and-group, EdgeConv graphs.
+
+Parity notes:
+  - query_ball_point (reference Highway_bridge/models/pointnet2_utils.py:97-112):
+    indices within radius in ascending order, first `nsample` taken, missing
+    slots padded with the first hit (if there is no hit at all the reference
+    yields index N for every slot, which downstream index_points clamps to N-1;
+    we reproduce that).
+  - knn (reference Highway_bridge/models/DGCNN.py:49-70): top-k smallest
+    pairwise distances (self included).
+  - sample_and_group (pointnet2_utils.py:42-60): FPS + ball query +
+    center-relative concat.
+  - edge_conv_graph_feature (DGCNN.py:72-109): gather k neighbors and emit
+    (x_j - x_i, x_i) pairs, channel-last here ([B, N, K, 2C]).
+
+TPU-first design: ball query avoids the reference's full [B,S,N] sort by
+encoding "within radius, ascending index" as an integer key and running a
+single top-k; XLA fuses the distance matmul (MXU) with the mask/key epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .core import index_points, square_distance
+from .sampling import farthest_point_sample
+
+
+def query_ball_point(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+) -> jax.Array:
+    """Fixed-radius neighborhood query.
+
+    Args:
+      radius: ball radius.
+      nsample: neighbors per ball (static).
+      xyz: all points [B, N, 3].
+      new_xyz: query centers [B, S, 3].
+    Returns:
+      [B, S, nsample] int32 indices into N. Misses are padded with the first
+      hit; if a ball is empty every slot holds N (clamped by index_points).
+    """
+    n = xyz.shape[1]
+    sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
+    arange = jnp.arange(n, dtype=jnp.int32)
+    within = sqrdists <= radius * radius
+    # Key: hits map to N - index (so larger key == smaller index), misses to 0.
+    # Descending top-k over keys == ascending index order over hits.
+    key = jnp.where(within, n - arange, 0)
+    k_eff = min(nsample, n)
+    topk_keys, _ = lax.top_k(key, k_eff)
+    if k_eff < nsample:  # pad with misses (key 0 -> index N)
+        pad = jnp.zeros(topk_keys.shape[:-1] + (nsample - k_eff,), topk_keys.dtype)
+        topk_keys = jnp.concatenate([topk_keys, pad], axis=-1)
+    idx = (n - topk_keys).astype(jnp.int32)  # miss (key 0) -> N
+    first = idx[..., :1]
+    hit = topk_keys > 0
+    return jnp.where(hit, idx, jnp.broadcast_to(first, idx.shape))
+
+
+def knn(
+    xyz: jax.Array,
+    query: Optional[jax.Array] = None,
+    k: int = 20,
+) -> jax.Array:
+    """k nearest neighbors by squared Euclidean distance (self included).
+
+    Args:
+      xyz: [B, N, C] reference points.
+      query: [B, S, C] query points; defaults to xyz.
+    Returns:
+      [B, S, k] int32 indices into N, nearest first.
+    """
+    if query is None:
+        query = xyz
+    d = square_distance(query, xyz)
+    _, idx = lax.top_k(-d, k)
+    return idx.astype(jnp.int32)
+
+
+def knn_with_distance(
+    xyz: jax.Array, query: Optional[jax.Array] = None, k: int = 20
+) -> Tuple[jax.Array, jax.Array]:
+    """Like knn() but also returns the squared distances [B, S, k]."""
+    if query is None:
+        query = xyz
+    d = square_distance(query, xyz)
+    neg, idx = lax.top_k(-d, k)
+    return (-neg), idx.astype(jnp.int32)
+
+
+def group_points(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    idx: jax.Array,
+    features: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Gather neighborhoods and form center-relative features.
+
+    Args:
+      xyz: [B, N, 3]; new_xyz: [B, S, 3]; idx: [B, S, K] into N;
+      features: optional [B, N, C].
+    Returns:
+      [B, S, K, 3] (xyz only) or [B, S, K, 3 + C] with features appended —
+      same layout as reference sample_and_group (channel-last).
+    """
+    grouped_xyz = index_points(xyz, idx)  # [B, S, K, 3]
+    grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+    if features is None:
+        return grouped_xyz
+    grouped_feats = index_points(features, idx)  # [B, S, K, C]
+    return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+
+
+def sample_and_group(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    features: Optional[jax.Array] = None,
+    fps_start_idx=0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """FPS + ball query + center-relative grouping (pointnet2_utils.py:42-60).
+
+    Returns (new_xyz [B,S,3], new_points [B,S,K,3(+C)], fps_idx [B,S]).
+    """
+    fps_idx = farthest_point_sample(xyz, npoint, fps_start_idx)
+    new_xyz = index_points(xyz, fps_idx)
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    new_points = group_points(xyz, new_xyz, idx, features)
+    return new_xyz, new_points, fps_idx
+
+
+def edge_conv_graph_feature(
+    x: jax.Array, k: int = 20, idx: Optional[jax.Array] = None
+) -> jax.Array:
+    """DGCNN dynamic-graph feature: (x_j - x_i, x_i) over k nearest neighbors.
+
+    Args:
+      x: [B, N, C] point features (graph is built in this feature space).
+      idx: optional precomputed [B, N, k] neighbor indices.
+    Returns:
+      [B, N, k, 2C] — reference emits [B, 2C, N, k] (DGCNN.py:72-109); we are
+      channel-last throughout.
+    """
+    if idx is None:
+        idx = knn(x, k=k)
+    neighbors = index_points(x, idx)  # [B, N, k, C]
+    center = x[:, :, None, :]
+    center_tiled = jnp.broadcast_to(center, neighbors.shape)
+    return jnp.concatenate([neighbors - center_tiled, center_tiled], axis=-1)

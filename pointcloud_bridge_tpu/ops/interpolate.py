@@ -1,0 +1,44 @@
+"""Feature propagation by k-NN inverse-distance interpolation.
+
+Parity notes (reference Highway_bridge/models/pointnet2_utils.py:171-211):
+  - 3 nearest neighbors by squared distance; weights 1/(d + 1e-8) normalized.
+  - EnhancedFeaturePropagation (:246-267) uses k=4 — k is a parameter here.
+  - The reference special-cases S == 1 (broadcast); we do the same statically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .core import index_points, square_distance
+
+
+def three_nn_interpolate(
+    xyz_dst: jax.Array,
+    xyz_src: jax.Array,
+    feats_src: jax.Array,
+    k: int = 3,
+) -> jax.Array:
+    """Interpolate features from src points onto dst points.
+
+    Args:
+      xyz_dst: [B, N, 3] target positions.
+      xyz_src: [B, S, 3] source positions.
+      feats_src: [B, S, D] source features.
+      k: neighbors to blend (3 in FP, 4 in EnhancedFP).
+    Returns:
+      [B, N, D] interpolated features.
+    """
+    s = xyz_src.shape[1]
+    if s == 1:
+        n = xyz_dst.shape[1]
+        return jnp.broadcast_to(feats_src, (feats_src.shape[0], n, feats_src.shape[2]))
+    d = square_distance(xyz_dst, xyz_src)  # [B, N, S]
+    neg, idx = lax.top_k(-d, k)
+    dists = -neg
+    recip = 1.0 / (dists + 1e-8)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # [B, N, k]
+    gathered = index_points(feats_src, idx)  # [B, N, k, D]
+    return jnp.sum(gathered * weight[..., None], axis=2)

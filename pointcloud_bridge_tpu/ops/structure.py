@@ -1,0 +1,189 @@
+"""Local geometric structure ops: closed-form 3x3 eigendecomposition, PCA shape
+features, normal estimation.
+
+Capability parity with the reference's structure encodings
+(Highway_bridge/models/attention_modules.py):
+  - get_structure_features (:622-687): 13-dim per-point local stats from the
+    k-NN relative positions (PCA linearity/planarity/sphericity, radius/mean/std
+    distance, direction consistency, z stats, mean rel-pos, std norm).
+  - compute_normals (:311-338): min-eigenvector of the local covariance.
+
+TPU-first design deltas:
+  - `torch.linalg.eigh` on [B*N] 3x3 matrices is replaced by a closed-form
+    trigonometric symmetric eigensolver — pure VPU elementwise math, no LAPACK
+    host callback, fully fusible by XLA.
+  - Eigenvalues are returned in DESCENDING order and the shape features use the
+    standard Weinmann et al. convention (linearity=(l1-l2)/l1 with l1 largest).
+    The reference indexes torch's ascending order with the descending formula
+    (attention_modules.py:639-641), which yields scrambled but learnable
+    features; we implement the textbook definition intentionally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .grouping import knn
+from .core import index_points
+
+
+def eigh3x3(a: jax.Array) -> jax.Array:
+    """Eigenvalues of symmetric 3x3 matrices, closed form, descending order.
+
+    Args:
+      a: [..., 3, 3] symmetric.
+    Returns:
+      [..., 3] eigenvalues, largest first.
+    """
+    a = a.astype(jnp.float32)
+    a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+    a11, a12, a22 = a[..., 1, 1], a[..., 1, 2], a[..., 2, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01**2 + a02**2 + a12**2
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00**2 + b11**2 + b22**2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    safe_p = jnp.where(p > 1e-12, p, 1.0)
+
+    # det((A - qI) / p) / 2
+    c00, c11, c22 = b00 / safe_p, b11 / safe_p, b22 / safe_p
+    c01, c02, c12 = a01 / safe_p, a02 / safe_p, a12 / safe_p
+    detb = (
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+
+    degenerate = p <= 1e-12
+    e1 = jnp.where(degenerate, q, e1)
+    e2 = jnp.where(degenerate, q, e2)
+    e3 = jnp.where(degenerate, q, e3)
+    return jnp.stack([e1, e2, e3], axis=-1)
+
+
+def min_eigvec3x3(a: jax.Array, eigvals: Optional[jax.Array] = None) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of symmetric 3x3 matrices.
+
+    Uses the cross-product method: rows of (A - l_min I) are orthogonal to the
+    eigenvector; the largest-norm pairwise cross product is the most stable.
+    Degenerate neighborhoods fall back to +z.
+    """
+    if eigvals is None:
+        eigvals = eigh3x3(a)
+    lmin = eigvals[..., 2]
+    eye = jnp.eye(3, dtype=a.dtype)
+    m = a - lmin[..., None, None] * eye
+    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    cands = jnp.stack([c01, c02, c12], axis=-2)  # [..., 3, 3]
+    norms = jnp.linalg.norm(cands, axis=-1)  # [..., 3]
+    best = jnp.argmax(norms, axis=-1)
+    vec = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1), axis=-2)
+    vec = vec[..., 0, :]
+    nrm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], a.dtype), vec.shape)
+    return jnp.where(nrm > 1e-10, vec / jnp.maximum(nrm, 1e-10), fallback)
+
+
+def local_covariance(rel_pos: jax.Array, unbiased: bool = True) -> jax.Array:
+    """Covariance of k-NN relative positions. rel_pos: [B, N, k, 3] -> [B,N,3,3]."""
+    k = rel_pos.shape[-2]
+    denom = (k - 1) if unbiased else k
+    return jnp.einsum(
+        "bnki,bnkj->bnij", rel_pos, rel_pos, preferred_element_type=jnp.float32
+    ) / denom
+
+
+def local_structure_features(rel_pos: jax.Array) -> jax.Array:
+    """13-dim per-point structure descriptor from k-NN relative positions.
+
+    Mirrors attention_modules.py:622-687: [linearity, planarity, sphericity,
+    local_radius, mean_dist, std_dist, direction_consistency, z_std, z_range,
+    mean_rel_pos(3), |std(rel_pos)|].
+
+    Args:
+      rel_pos: [B, N, k, 3] neighbor positions relative to each point.
+    Returns:
+      [B, N, 13] float32.
+    """
+    k = rel_pos.shape[-2]
+    rel_pos = rel_pos.astype(jnp.float32)
+
+    cov = local_covariance(rel_pos)  # [B, N, 3, 3]
+    ev = eigh3x3(cov)  # descending [B, N, 3]
+    l1 = ev[..., 0] + 1e-8
+    linearity = (ev[..., 0] - ev[..., 1]) / l1
+    planarity = (ev[..., 1] - ev[..., 2]) / l1
+    sphericity = ev[..., 2] / l1
+    pca_feats = jnp.stack([linearity, planarity, sphericity], axis=-1)
+
+    center = jnp.mean(rel_pos, axis=2, keepdims=True)
+    dists = jnp.linalg.norm(rel_pos - center, axis=-1)  # [B, N, k]
+    local_radius = jnp.max(dists, axis=-1)
+    mean_dist = jnp.mean(dists, axis=-1)
+    std_dist = jnp.std(dists, axis=-1, ddof=1)
+    local_stats = jnp.stack([local_radius, mean_dist, std_dist], axis=-1)
+
+    # Direction consistency: mean pairwise cosine similarity of neighbor dirs.
+    # mean_{ij} (u_i . u_j) == |sum_i u_i|^2 / k^2 — O(k) instead of the
+    # reference's explicit [k, k] Gram matrix (attention_modules.py:659-663).
+    unit = rel_pos / (jnp.linalg.norm(rel_pos, axis=-1, keepdims=True) + 1e-8)
+    dir_sum = jnp.sum(unit, axis=2)  # [B, N, 3]
+    direction_consistency = jnp.sum(dir_sum**2, axis=-1) / (k * k)
+
+    z = rel_pos[..., 2]
+    z_std = jnp.std(z, axis=-1, ddof=1)
+    z_range = jnp.max(z, axis=-1) - jnp.min(z, axis=-1)
+    z_stats = jnp.stack([z_std, z_range], axis=-1)
+
+    mean_rel = jnp.mean(rel_pos, axis=2)  # [B, N, 3]
+    std_norm = jnp.linalg.norm(jnp.std(rel_pos, axis=2, ddof=1), axis=-1, keepdims=True)
+
+    return jnp.concatenate(
+        [
+            pca_feats,
+            local_stats,
+            direction_consistency[..., None],
+            z_stats,
+            mean_rel,
+            std_norm,
+        ],
+        axis=-1,
+    )
+
+
+def estimate_normals(xyz: jax.Array, k: int = 20) -> jax.Array:
+    """Per-point normals via min-eigenvector of the k-NN covariance.
+
+    Mirrors compute_normals (attention_modules.py:311-338) with the closed-form
+    eigensolver. xyz: [B, N, 3] -> [B, N, 3] unit normals (sign unnormalized,
+    matching the reference).
+    """
+    idx = knn(xyz, k=k)
+    neighbors = index_points(xyz, idx)  # [B, N, k, 3]
+    rel = neighbors - xyz[:, :, None, :]
+    cov = jnp.einsum(
+        "bnki,bnkj->bnij", rel, rel, preferred_element_type=jnp.float32
+    )
+    return min_eigvec3x3(cov)
+
+
+def knn_relative_positions(
+    xyz: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """k-NN then center-relative positions. Returns (rel_pos [B,N,k,3], idx)."""
+    idx = knn(xyz, k=k)
+    neighbors = index_points(xyz, idx)
+    return neighbors - xyz[:, :, None, :], idx

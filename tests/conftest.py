@@ -1,0 +1,29 @@
+"""Test env: force the CPU backend with 8 virtual devices so multi-chip
+sharding paths (pjit/shard_map over a Mesh) are exercised without TPU hardware.
+
+Note: this image's sitecustomize force-registers a remote TPU PJRT plugin
+("axon") and re-appends it to JAX_PLATFORMS, so the env var alone is not
+enough — we must also override jax_platforms via jax.config after import,
+which is authoritative for default-backend selection.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
