@@ -1,0 +1,109 @@
+"""PointNet++ segmentation models (SSG and MSG variants).
+
+Capability parity:
+  - PointNet2 (SSG): Highway_bridge/models/model.py:12-56 — 3x SA
+    (1024/256/64 pts, r=.1/.2/.4, k=32) -> 3x FP -> seg head.
+  - PointNet2MSG (9ch Partsize): Partsize-identical/models/
+    pointnet2_sem_seg_msg.py:7-42 — 4x MSG SA + 4x FP + small head; the
+    reference returns log-probs, we return logits (losses take logits).
+  - PointNet2SSGPartsize: Partsize-identical/models/pointnet2_sem_seg.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import (
+    FeaturePropagation,
+    MultiScaleSetAbstractionMsg,
+    SegHead,
+    SetAbstraction,
+)
+
+
+class PointNet2SSG(nn.Module):
+    """PointNet++ SSG semantic segmentation (reference model.py:12-56).
+
+    apply(xyz [B,N,3], features [B,N,3] rgb) -> logits [B,N,num_classes].
+    """
+
+    num_classes: int = 5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: Optional[jax.Array], train: bool = False
+    ) -> jax.Array:
+        ax = self.axis_name
+        l1_xyz, l1 = SetAbstraction(1024, 0.1, 32, (64, 64, 128), ax, name="sa1")(
+            xyz, features, train
+        )
+        l2_xyz, l2 = SetAbstraction(256, 0.2, 32, (128, 128, 256), ax, name="sa2")(
+            l1_xyz, l1, train
+        )
+        l3_xyz, l3 = SetAbstraction(64, 0.4, 32, (256, 256, 512), ax, name="sa3")(
+            l2_xyz, l2, train
+        )
+
+        l2 = FeaturePropagation((256, 256), ax, name="fp3")(
+            l2_xyz, l3_xyz, l2, l3, train
+        )
+        l1 = FeaturePropagation((256, 128), ax, name="fp2")(
+            l1_xyz, l2_xyz, l1, l2, train
+        )
+        l0 = FeaturePropagation((128, 128, 128), ax, name="fp1")(
+            xyz, l1_xyz, None, l1, train
+        )
+        return SegHead(self.num_classes, 128, axis_name=ax, name="head")(l0, train)
+
+
+class PointNet2MSG(nn.Module):
+    """Partsize 9-channel PointNet++ MSG seg model
+    (Partsize-identical/models/pointnet2_sem_seg_msg.py:7-42).
+
+    Input features are the S3DIS-style 9 channels [x_c, y_c, z, r, g, b,
+    x_norm, y_norm, z_norm]; xyz is columns 0:3 of the block.
+    """
+
+    num_classes: int = 5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: Optional[jax.Array], train: bool = False
+    ) -> jax.Array:
+        ax = self.axis_name
+        l1_xyz, l1 = MultiScaleSetAbstractionMsg(
+            1024, (0.05, 0.1), (16, 32),
+            ((16, 16, 32), (32, 32, 64)), ax, name="sa1",
+        )(xyz, features, train)
+        l2_xyz, l2 = MultiScaleSetAbstractionMsg(
+            256, (0.1, 0.2), (16, 32),
+            ((64, 64, 128), (64, 96, 128)), ax, name="sa2",
+        )(l1_xyz, l1, train)
+        l3_xyz, l3 = MultiScaleSetAbstractionMsg(
+            64, (0.2, 0.4), (16, 32),
+            ((128, 196, 256), (128, 196, 256)), ax, name="sa3",
+        )(l2_xyz, l2, train)
+        l4_xyz, l4 = MultiScaleSetAbstractionMsg(
+            16, (0.4, 0.8), (16, 32),
+            ((256, 256, 512), (256, 384, 512)), ax, name="sa4",
+        )(l3_xyz, l3, train)
+
+        l3 = FeaturePropagation((256, 256), ax, name="fp4")(
+            l3_xyz, l4_xyz, l3, l4, train
+        )
+        l2 = FeaturePropagation((256, 256), ax, name="fp3")(
+            l2_xyz, l3_xyz, l2, l3, train
+        )
+        l1 = FeaturePropagation((256, 128), ax, name="fp2")(
+            l1_xyz, l2_xyz, l1, l2, train
+        )
+        l0 = FeaturePropagation((128, 128, 128), ax, name="fp1")(
+            xyz, l1_xyz, None, l1, train
+        )
+        return SegHead(self.num_classes, 128, axis_name=ax, name="head")(l0, train)

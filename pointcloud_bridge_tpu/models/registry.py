@@ -1,0 +1,34 @@
+"""Model registry: name -> constructor, mirroring the reference's model zoo
+(SURVEY.md §2.2) and eva_model.py's model table (eva_model.py:463-527)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import flax.linen as nn
+
+from .pointnet2 import PointNet2SSG, PointNet2MSG
+
+MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
+    "pointnet2": PointNet2SSG,  # reference name for the SSG seg model
+    "pointnet2_ssg": PointNet2SSG,
+    "pointnet2_msg": PointNet2MSG,  # Partsize 9-channel MSG
+}
+
+
+def register_model(name: str):
+    def deco(cls):
+        MODEL_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def get_model(name: str, num_classes: int, **kwargs) -> nn.Module:
+    try:
+        ctor = MODEL_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}"
+        ) from None
+    return ctor(num_classes=num_classes, **kwargs)

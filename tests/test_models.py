@@ -1,0 +1,96 @@
+"""Model zoo tests: shape contracts, parameter-count parity with the reference,
+jit-compilability, and gradient flow."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_bridge_tpu.models import get_model
+from pointcloud_bridge_tpu import losses
+
+
+def _init_and_forward(model, b=2, n=512, feat_ch=3, train=False):
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (b, n, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (b, n, feat_ch))
+    variables = model.init(
+        {"params": key, "dropout": jax.random.PRNGKey(2)}, xyz, feats, train=False
+    )
+    out = model.apply(variables, xyz, feats, train=train,
+                      rngs={"dropout": jax.random.PRNGKey(3)} if train else None,
+                      mutable=["batch_stats"] if train else False)
+    return variables, out
+
+
+def n_params(variables):
+    return sum(x.size for x in jax.tree.leaves(variables["params"]))
+
+
+def test_pointnet2_ssg_shapes_and_params():
+    model = get_model("pointnet2_ssg", num_classes=5)
+    variables, out = _init_and_forward(model, b=2, n=512)
+    assert out.shape == (2, 512, 5)
+    # Exact parameter parity with the reference PointNet2 at 5 classes:
+    # 810,501 params (model_performance_comparison.csv:4).
+    assert n_params(variables) == 810_501
+
+
+def test_pointnet2_msg_shapes():
+    model = get_model("pointnet2_msg", num_classes=5)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 512, 3))
+    feats = jnp.concatenate(
+        [xyz, jax.random.uniform(jax.random.PRNGKey(1), (2, 512, 6))], axis=-1
+    )  # 9-channel input
+    variables = model.init(key, xyz, feats, train=False)
+    out = model.apply(variables, xyz, feats, train=False)
+    assert out.shape == (2, 512, 5)
+
+
+def test_train_mode_updates_batch_stats():
+    model = get_model("pointnet2_ssg", num_classes=5)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 256, 3))
+    feats = jax.random.uniform(key, (2, 256, 3))
+    variables = model.init(key, xyz, feats, train=False)
+    out, mutated = model.apply(
+        variables,
+        xyz,
+        feats,
+        train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 256, 5)
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+    )
+
+
+def test_jit_forward_and_grad():
+    model = get_model("pointnet2_ssg", num_classes=5)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 256, 3))
+    feats = jax.random.uniform(key, (2, 256, 3))
+    labels = jax.random.randint(key, (2, 256), 0, 5)
+    variables = model.init(key, xyz, feats, train=False)
+
+    @jax.jit
+    def loss_fn(params):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            xyz,
+            feats,
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        return losses.weighted_cross_entropy(logits, labels)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
+    assert gnorm > 0.0
