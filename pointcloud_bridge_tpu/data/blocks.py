@@ -1,0 +1,378 @@
+"""Block samplers (L1 in SURVEY.md §2.4) — fixed-shape [num_points] blocks.
+
+Exact contracts reproduced from the reference:
+  - normalize_points: centroid-center + divide by max radius
+    (utils/BriPCDMulti.py:91-102).
+  - points_in_block: xy box + z within ±z_threshold of box center — the
+    reference's numba kernel (BriPCDMulti.py:179-189), vectorized numpy here
+    (a C++ native path can slot in; numpy is already ~memory-bound).
+  - stratified_sample_indices: >= min_ratio of the block per present class,
+    remainder by the original distribution (BriPCDMulti.py:202-255).
+  - weighted_stratified_sample_indices: sample toward target class
+    proportions, rare classes boosted 1.3x / common damped 0.9x
+    (BriPCD_gen.py:185-273).
+  - make_training_blocks: per sampling iteration one stratified GLOBAL block
+    + one LOCAL block around a random center (block_size x block_size x ±2 m)
+    (BriPCDMulti.py:257-324).
+  - s3dis_column_block: LWBridgeDataset's random 1 m column with retry and
+    9-channel output [x_c, y_c, z, r, g, b, x/ext, y/ext, z/ext]
+    (BridgeDataLoader.py:104-166).
+  - whole_scene_grid_blocks: ScannetDatasetWholeScene's deterministic sliding
+    grid (stride*block_size), pad-to-multiple-of-block_points, 9-channel +
+    labelweights + original indices (BridgeDataLoader.py:214-277).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def normalize_points(points: np.ndarray) -> np.ndarray:
+    """Centroid-center then scale by the max radius (BriPCDMulti.py:91-102)."""
+    points = points - points.mean(axis=0, keepdims=True)
+    max_dist = np.sqrt((points**2).sum(axis=1)).max()
+    if max_dist > 0:
+        points = points / max_dist
+    return points
+
+
+def points_in_block(
+    points: np.ndarray,
+    block_min: np.ndarray,
+    block_max: np.ndarray,
+    z_threshold: float = 2.0,
+) -> np.ndarray:
+    """Indices of points inside the xy box and within ±z_threshold of the
+    box z-center (BriPCDMulti.py:179-189)."""
+    z_center = (block_min[2] + block_max[2]) / 2.0
+    mask = (
+        (points[:, 0] >= block_min[0])
+        & (points[:, 0] <= block_max[0])
+        & (points[:, 1] >= block_min[1])
+        & (points[:, 1] <= block_max[1])
+        & (np.abs(points[:, 2] - z_center) <= z_threshold)
+    )
+    return np.where(mask)[0]
+
+
+def stratified_sample_indices(
+    labels: np.ndarray,
+    num_points: int,
+    num_classes: int,
+    min_ratio: float = 0.05,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Stratified sampling: every present class gets >= min_ratio * num_points
+    (or all its points), remainder follows the data distribution
+    (BriPCDMulti.py:202-255)."""
+    rng = rng or np.random.default_rng()
+    all_indices = np.arange(len(labels))
+    selected: List[np.ndarray] = []
+    min_per_class = int(num_points * min_ratio)
+    remaining = num_points
+    for class_id in range(num_classes):
+        class_idx = all_indices[labels == class_id]
+        if len(class_idx) == 0:
+            continue
+        if len(class_idx) <= min_per_class:
+            selected.append(class_idx)
+            remaining -= len(class_idx)
+        else:
+            sel = rng.choice(class_idx, min_per_class, replace=False)
+            selected.append(sel)
+            remaining -= min_per_class
+    chosen = np.concatenate(selected) if selected else np.empty(0, np.int64)
+    if remaining > 0:
+        mask = np.ones(len(labels), bool)
+        mask[chosen] = False
+        pool = all_indices[mask]
+        if len(pool) > 0:
+            extra = rng.choice(pool, min(remaining, len(pool)), replace=False)
+            chosen = np.concatenate([chosen, extra])
+    # pad by resampling if the scene is smaller than num_points
+    if len(chosen) < num_points:
+        pad = rng.choice(chosen, num_points - len(chosen), replace=True)
+        chosen = np.concatenate([chosen, pad])
+    rng.shuffle(chosen)
+    return chosen.astype(np.int64)
+
+
+def weighted_stratified_sample_indices(
+    labels: np.ndarray,
+    num_points: int,
+    proportions: Dict[int, float],
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Sample so class c contributes ~proportions[c] of the block, with
+    replacement when a class is too small (BriPCD_gen.py:185-234)."""
+    rng = rng or np.random.default_rng()
+    classes = np.unique(labels)
+    total = sum(proportions.values())
+    norm = {k: v / total for k, v in proportions.items()}
+    desired = {int(c): int(norm.get(int(c), 0.0) * num_points) for c in classes}
+    diff = num_points - sum(desired.values())
+    if diff != 0 and desired:
+        max_cls = max(desired, key=desired.get)
+        desired[max_cls] += diff
+    selected: List[np.ndarray] = []
+    for c in classes:
+        n = desired.get(int(c), 0)
+        if n <= 0:
+            continue
+        pool = np.where(labels == c)[0]
+        if len(pool) == 0:
+            continue
+        selected.append(rng.choice(pool, n, replace=len(pool) < n))
+    out = np.concatenate(selected) if selected else np.empty(0, np.int64)
+    rng.shuffle(out)
+    return out.astype(np.int64)
+
+
+def boosted_class_proportions(
+    labels: np.ndarray, boost_factor: float = 1.3
+) -> Dict[int, float]:
+    """Rare classes boosted (capped at 1.5x average), common damped 0.9x,
+    renormalized (BriPCD_gen.py:246-273)."""
+    classes, counts = np.unique(labels, return_counts=True)
+    total = counts.sum()
+    orig = {int(c): n / total for c, n in zip(classes, counts)}
+    avg = 1.0 / len(classes)
+    desired = {}
+    for c, p in orig.items():
+        if p < avg:
+            desired[c] = min(p * boost_factor, avg * 1.5)
+        else:
+            desired[c] = p * 0.9
+    s = sum(desired.values())
+    return {c: p / s for c, p in desired.items()}
+
+
+@dataclass
+class Block:
+    """One training block — the reference dataset item contract
+    (BriPCDMulti.py:344-365)."""
+
+    points: np.ndarray  # [P, 3] normalized (whole-scene normalization)
+    colors: np.ndarray  # [P, 3] in [0, 1]
+    labels: np.ndarray  # [P] int
+    original_points: np.ndarray  # [P, 3] raw coordinates
+    indices: np.ndarray  # [P] indices into the source scene
+    file_name: str = ""
+
+
+def make_training_blocks(
+    points: np.ndarray,
+    colors: np.ndarray,
+    labels: np.ndarray,
+    num_points: int = 4096,
+    block_size: float = 1.0,
+    sample_rate: float = 0.5,
+    num_classes: Optional[int] = None,
+    weighted: bool = False,
+    file_name: str = "",
+    seed: int = 0,
+    z_threshold: float = 2.0,
+) -> List[Block]:
+    """Global stratified + local box blocks (BriPCDMulti.py:257-324 /
+    BriPCD_gen.py weighted variant)."""
+    rng = np.random.default_rng(seed)
+    n = len(points)
+    iters = max(1, int(n * sample_rate / num_points))
+    normal_points = normalize_points(points.astype(np.float64)).astype(np.float32)
+    if num_classes is None:
+        num_classes = int(labels.max()) + 1
+    proportions = boosted_class_proportions(labels) if weighted else None
+
+    blocks: List[Block] = []
+    local_blocks: List[Block] = []
+    for _ in range(iters):
+        if weighted:
+            idx = weighted_stratified_sample_indices(
+                labels, num_points, proportions, rng
+            )
+        else:
+            idx = stratified_sample_indices(labels, num_points, num_classes, 0.05, rng)
+        blocks.append(
+            Block(
+                points=normal_points[idx],
+                colors=colors[idx].astype(np.float32),
+                labels=labels[idx].astype(np.int64),
+                original_points=points[idx].astype(np.float32),
+                indices=idx,
+                file_name=file_name,
+            )
+        )
+        # local block around a random center
+        center = points[rng.integers(n)][:3]
+        bmin = center - np.array([block_size / 2, block_size / 2, 0.0])
+        bmax = center + np.array([block_size / 2, block_size / 2, 0.0])
+        in_block = points_in_block(points, bmin, bmax, z_threshold)
+        if len(in_block) >= num_points:
+            sel = rng.choice(in_block, num_points, replace=False)
+            local_blocks.append(
+                Block(
+                    points=normal_points[sel],
+                    colors=colors[sel].astype(np.float32),
+                    labels=labels[sel].astype(np.int64),
+                    original_points=points[sel].astype(np.float32),
+                    indices=sel,
+                    file_name=file_name,
+                )
+            )
+    return blocks + local_blocks
+
+
+def s3dis_column_block(
+    points6: np.ndarray,
+    labels: np.ndarray,
+    coord_min: np.ndarray,
+    coord_max: np.ndarray,
+    num_point: int = 4096,
+    block_size: float = 1.0,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """LWBridgeDataset random-column sampler (BridgeDataLoader.py:104-166).
+
+    Returns (points9 [num_point, 9], labels [num_point]). Channels:
+    [x-center_x, y-center_y, z, r, g, b, x/ext_x, y/ext_y, z/ext_z].
+    """
+    rng = rng or np.random.default_rng()
+    n = len(points6)
+    point_idxs = np.empty(0, np.int64)
+    for attempt in range(101):
+        center = points6[rng.integers(n)][:3]
+        bmin = center - np.array([block_size / 2, block_size / 2, 0.0])
+        bmax = center + np.array([block_size / 2, block_size / 2, 0.0])
+        point_idxs = np.where(
+            (points6[:, 0] >= bmin[0])
+            & (points6[:, 0] <= bmax[0])
+            & (points6[:, 1] >= bmin[1])
+            & (points6[:, 1] <= bmax[1])
+        )[0]
+        if point_idxs.size > 1024:
+            break
+    if point_idxs.size == 0:  # degenerate scene; sample anywhere
+        point_idxs = np.arange(n)
+    replace = point_idxs.size < num_point
+    sel = rng.choice(point_idxs, num_point, replace=replace)
+    selected = points6[sel].copy()
+    ext = coord_max - coord_min
+    out = np.zeros((num_point, 9), np.float32)
+    out[:, 6] = selected[:, 0] / max(ext[0], 1e-9)
+    out[:, 7] = selected[:, 1] / max(ext[1], 1e-9)
+    out[:, 8] = selected[:, 2] / max(ext[2], 1e-9)
+    selected[:, 0] -= center[0]
+    selected[:, 1] -= center[1]
+    out[:, :6] = selected
+    return out, labels[sel].astype(np.int64)
+
+
+def whole_scene_grid_blocks(
+    points6: np.ndarray,
+    labels: np.ndarray,
+    labelweights: np.ndarray,
+    block_points: int = 4096,
+    block_size: float = 1.0,
+    stride: float = 0.5,
+    padding: float = 0.001,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic sliding-grid coverage of a whole scene
+    (BridgeDataLoader.py:214-277).
+
+    Returns (data [nb, block_points, 9], labels [nb, block_points],
+    weights [nb, block_points], idxs [nb, block_points]) where idxs are the
+    original point indices used for vote accumulation.
+    """
+    rng = np.random.default_rng(seed)
+    coord_min = points6[:, :3].min(axis=0)
+    coord_max = points6[:, :3].max(axis=0)
+    grid_x = int(np.ceil((coord_max[0] - coord_min[0] - block_size) / stride) + 1)
+    grid_y = int(np.ceil((coord_max[1] - coord_min[1] - block_size) / stride) + 1)
+    grid_x, grid_y = max(grid_x, 1), max(grid_y, 1)
+
+    datas, labs, wts, idxs = [], [], [], []
+    ext = coord_max - coord_min
+    for iy in range(grid_y):
+        for ix in range(grid_x):
+            s_x = coord_min[0] + ix * stride
+            e_x = min(s_x + block_size, coord_max[0])
+            s_x = e_x - block_size
+            s_y = coord_min[1] + iy * stride
+            e_y = min(s_y + block_size, coord_max[1])
+            s_y = e_y - block_size
+            pid = np.where(
+                (points6[:, 0] >= s_x - padding)
+                & (points6[:, 0] <= e_x + padding)
+                & (points6[:, 1] >= s_y - padding)
+                & (points6[:, 1] <= e_y + padding)
+            )[0]
+            if pid.size == 0:
+                continue
+            nb = int(np.ceil(pid.size / block_points))
+            target = nb * block_points
+            replace = (target - pid.size) > pid.size
+            extra = rng.choice(pid, target - pid.size, replace=replace)
+            pid = np.concatenate([pid, extra])
+            rng.shuffle(pid)
+            batch = points6[pid].copy()
+            norm_xyz = np.zeros((target, 3))
+            norm_xyz[:, 0] = batch[:, 0] / max(ext[0], 1e-9)
+            norm_xyz[:, 1] = batch[:, 1] / max(ext[1], 1e-9)
+            norm_xyz[:, 2] = batch[:, 2] / max(ext[2], 1e-9)
+            batch[:, 0] -= s_x + block_size / 2.0
+            batch[:, 1] -= s_y + block_size / 2.0
+            data = np.concatenate([batch, norm_xyz], axis=1)
+            lab = labels[pid].astype(np.int64)
+            datas.append(data)
+            labs.append(lab)
+            wts.append(labelweights[lab])
+            idxs.append(pid)
+
+    if not datas:
+        return (
+            np.zeros((0, block_points, 9), np.float32),
+            np.zeros((0, block_points), np.int64),
+            np.zeros((0, block_points), np.float32),
+            np.zeros((0, block_points), np.int64),
+        )
+    data = np.concatenate(datas).reshape(-1, block_points, 9).astype(np.float32)
+    lab = np.concatenate(labs).reshape(-1, block_points)
+    wt = np.concatenate(wts).reshape(-1, block_points).astype(np.float32)
+    idx = np.concatenate(idxs).reshape(-1, block_points).astype(np.int64)
+    return data, lab, wt, idx
+
+
+def scene_labelweights(
+    label_arrays: List[np.ndarray], num_classes: int
+) -> np.ndarray:
+    """ScannetDatasetWholeScene label weights: cube-root inverse frequency
+    (BridgeDataLoader.py:201-213)."""
+    hist = np.zeros(num_classes, np.float64)
+    for seg in label_arrays:
+        tmp, _ = np.histogram(seg, range(num_classes + 1))
+        hist += tmp
+    hist = np.maximum(hist, 1.0)
+    freq = hist / hist.sum()
+    return np.power(freq.max() / freq, 1.0 / 3.0).astype(np.float32)
+
+
+def split_files(
+    files: List[str],
+    train: float = 0.7,
+    val: float = 0.15,
+    seed: int = 0,
+) -> Tuple[List[str], List[str], List[str]]:
+    """70/15/15 file split (utils/prepare_data.py:7-83)."""
+    rng = np.random.default_rng(seed)
+    files = sorted(files)
+    perm = rng.permutation(len(files))
+    n_train = int(len(files) * train)
+    n_val = int(len(files) * val)
+    tr = [files[i] for i in perm[:n_train]]
+    va = [files[i] for i in perm[n_train : n_train + n_val]]
+    te = [files[i] for i in perm[n_train + n_val :]]
+    return tr, va, te

@@ -1,0 +1,176 @@
+"""Data layer tests: LAS round-trip, H5 round-trip, block sampler contracts,
+whole-scene grid coverage, dataset caching and batching."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pointcloud_bridge_tpu.data import (
+    read_las,
+    write_las,
+    read_las_xyzrgbl,
+    read_h5,
+    write_h5,
+    normalize_points,
+    points_in_block,
+    stratified_sample_indices,
+    weighted_stratified_sample_indices,
+    boosted_class_proportions,
+    make_training_blocks,
+    s3dis_column_block,
+    whole_scene_grid_blocks,
+    scene_labelweights,
+    split_files,
+    BlockDataset,
+)
+from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+
+
+def test_las_roundtrip(tmp_path, rng):
+    xyz = rng.uniform(-100, 100, (1000, 3))
+    rgb = rng.uniform(0, 1, (1000, 3)).astype(np.float32)
+    labels = rng.integers(0, 5, 1000).astype(np.uint8)
+    p = str(tmp_path / "test.las")
+    write_las(p, xyz, rgb, labels)
+    las = read_las(p)
+    np.testing.assert_allclose(las.xyz, xyz, atol=1e-3)  # mm scale
+    np.testing.assert_array_equal(las.classification, labels)
+    np.testing.assert_allclose(las.colors01, rgb, atol=1.0 / 65535)
+    arr = read_las_xyzrgbl(p)
+    assert arr.shape == (1000, 7)
+    np.testing.assert_array_equal(arr[:, 6].astype(int), labels)
+
+
+def test_h5_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    cols = rng.uniform(size=(500, 3)).astype(np.float32)
+    labs = rng.integers(0, 5, 500)
+    p = str(tmp_path / "t.h5")
+    write_h5(p, pts, cols, labs)
+    p2, c2, l2 = read_h5(p)
+    np.testing.assert_allclose(p2, pts)
+    np.testing.assert_array_equal(l2, labs)
+
+
+def test_normalize_points(rng):
+    pts = rng.uniform(5, 10, (200, 3))
+    n = normalize_points(pts)
+    np.testing.assert_allclose(n.mean(0), 0, atol=1e-9)
+    assert np.sqrt((n**2).sum(1)).max() <= 1.0 + 1e-9
+
+
+def test_points_in_block():
+    pts = np.array(
+        [[0.5, 0.5, 0.0], [0.5, 0.5, 3.0], [2.0, 0.5, 0.0], [0.9, 0.9, -1.9]]
+    )
+    idx = points_in_block(pts, np.array([0, 0, 0.0]), np.array([1, 1, 0.0]), 2.0)
+    np.testing.assert_array_equal(idx, [0, 3])
+
+
+def test_stratified_sampling_min_ratio(rng):
+    labels = np.concatenate([np.zeros(9000), np.ones(500), np.full(500, 2)]).astype(
+        int
+    )
+    idx = stratified_sample_indices(labels, 4096, 3, 0.05, rng)
+    assert len(idx) == 4096
+    counts = np.bincount(labels[idx], minlength=3)
+    assert counts[1] >= int(4096 * 0.05)
+    assert counts[2] >= int(4096 * 0.05)
+
+
+def test_weighted_stratified_sampling(rng):
+    labels = np.concatenate([np.zeros(9000), np.ones(100)]).astype(int)
+    props = boosted_class_proportions(labels)
+    assert props[1] > 100 / 9100  # rare class boosted
+    idx = weighted_stratified_sample_indices(labels, 4096, props, rng)
+    assert len(idx) == 4096
+    frac1 = (labels[idx] == 1).mean()
+    assert frac1 > 0.01  # boosted above raw 1.1%
+
+
+def test_make_training_blocks():
+    xyz, rgb, labels = toy_bridge_scene(30000, seed=0)
+    blocks = make_training_blocks(
+        xyz, rgb, labels, num_points=1024, block_size=2.0, sample_rate=0.2
+    )
+    assert len(blocks) >= 1
+    for b in blocks[:3]:
+        assert b.points.shape == (1024, 3)
+        assert np.sqrt((b.points**2).sum(1)).max() <= 1.0 + 1e-6
+        assert b.labels.shape == (1024,)
+        # indices map back to original scene points
+        np.testing.assert_allclose(
+            b.original_points, xyz[b.indices], atol=1e-6
+        )
+
+
+def test_s3dis_column_block(rng):
+    xyz, rgb, labels = toy_bridge_scene(20000, seed=1)
+    pts6 = np.concatenate([xyz, rgb], axis=1)
+    cmin, cmax = xyz.min(0), xyz.max(0)
+    out, labs = s3dis_column_block(pts6, labels, cmin, cmax, 2048, 1.0, rng)
+    assert out.shape == (2048, 9)
+    assert labs.shape == (2048,)
+    # centered x,y within block
+    assert np.abs(out[:, 0]).max() <= 0.5 + 1e-6
+    # normalized channels are raw coords / extent (reference does NOT shift by
+    # coord_min, BridgeDataLoader.py:143-146)
+    ext = cmax - cmin
+    sel_z = out[:, 2]
+    np.testing.assert_allclose(out[:, 8], sel_z / ext[2], atol=1e-5)
+
+
+def test_whole_scene_grid_covers_every_point():
+    xyz, rgb, labels = toy_bridge_scene(8000, seed=2)
+    pts6 = np.concatenate([xyz, rgb], axis=1)
+    lw = scene_labelweights([labels], 5)
+    data, labs, wts, idxs = whole_scene_grid_blocks(
+        pts6, labels, lw, block_points=1024, block_size=4.0, stride=2.0
+    )
+    assert data.shape[1:] == (1024, 9)
+    covered = np.unique(idxs.reshape(-1))
+    assert len(covered) == len(xyz)  # every original point appears >= once
+    # labels in blocks match scene labels at those indices
+    np.testing.assert_array_equal(labs[0], labels[idxs[0]])
+
+
+def test_scene_labelweights_ordering():
+    labels = np.concatenate([np.zeros(1000), np.ones(10)]).astype(int)
+    w = scene_labelweights([labels], 2)
+    assert w[1] > w[0]  # rare class gets higher weight
+    np.testing.assert_allclose(w[0], 1.0, atol=1e-6)
+
+
+def test_split_files():
+    files = [f"f{i}.las" for i in range(20)]
+    tr, va, te = split_files(files, seed=1)
+    assert len(tr) == 14 and len(va) == 3 and len(te) == 3
+    assert set(tr) | set(va) | set(te) == set(files)
+
+
+def test_block_dataset_cache_and_batches(tmp_path):
+    xyz, rgb, labels = toy_bridge_scene(20000, seed=3)
+    from pointcloud_bridge_tpu.data import write_h5 as _w
+
+    f = str(tmp_path / "scene.h5")
+    _w(f, xyz, rgb, labels)
+    cache = str(tmp_path / "cache")
+    ds = BlockDataset.from_files(
+        [f], num_points=512, sample_rate=0.2, cache_dir=cache, seed=0
+    )
+    assert len(ds) >= 1
+    # cache hit returns identical data
+    ds2 = BlockDataset.from_files(
+        [f], num_points=512, sample_rate=0.2, cache_dir=cache, seed=0
+    )
+    np.testing.assert_array_equal(ds.points, ds2.points)
+    assert len(os.listdir(cache)) == 1
+
+    batches = list(ds.batches(2, shuffle=True, seed=0, drop_last=False))
+    assert all(b["points"].shape == (2, 512, 3) for b in batches)
+    assert all(b["labels"].dtype == np.int32 for b in batches)
+    # augmented batches differ from raw blocks
+    ds.augment = True
+    b_aug = next(iter(ds.batches(2, shuffle=False, seed=0)))
+    assert not np.allclose(b_aug["points"], ds.points[b_aug["block_ids"]])
