@@ -1,0 +1,130 @@
+"""One typed config for the whole framework.
+
+The reference scatters configuration across inline dicts, config.yaml, a dead
+dataclass schema, argparse and class-based Config (SURVEY.md §5 'Config/flag
+system'). We honor the same YAML keys (Highway_bridge/config.yaml:1-13:
+num_points, chunk_size, overlap, batch_size, num_workers, learning_rate,
+num_classes, num_epochs, device, case, train_dir, val_dir, exp_dir_root) in a
+single dataclass tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence
+
+
+@dataclass
+class DataConfig:
+    train_dir: str = ""
+    val_dir: str = ""
+    num_points: int = 4096
+    block_size: float = 1.0
+    sample_rate: float = 0.5
+    chunk_size: int = 4096  # chunked loaders (data_utils_ver2.py:16)
+    overlap: int = 1024
+    weighted_sampling: bool = False
+    augment: bool = True
+    cache_dir: Optional[str] = None
+    num_workers: int = 0  # host-side; kept for config-key parity
+
+
+@dataclass
+class ModelConfig:
+    name: str = "pointnet2_ssg"
+    num_classes: int = 5
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class LossConfig:
+    name: str = "weighted_ce"  # weighted_ce | ce | bridge_structure | sol
+    use_class_weights: bool = True
+    label_smoothing: float = 0.0
+    alpha: float = 80.0  # BridgeStructureLoss (train_MulSca_BriStruNet_CB.py:151)
+    rel_margin: float = 0.3
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 16
+    num_epochs: int = 100
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4  # Adam wd (train_MulSca_PN2.py Adam betas/wd)
+    scheduler: str = "plateau"  # plateau | cosine | step | none
+    plateau_factor: float = 0.1
+    plateau_patience: int = 5
+    min_lr: float = 1e-5
+    step_decay: float = 0.7  # Partsize: lr * 0.7^(epoch//10) (train.py:201-204)
+    step_every: int = 10
+    seed: int = 0
+    log_every: int = 10
+    donate: bool = True
+
+
+@dataclass
+class ParallelConfig:
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 = all available
+    dtype: str = "float32"  # compute dtype for the model ("bfloat16" on TPU)
+
+
+@dataclass
+class Config:
+    case: str = "default"
+    exp_dir_root: str = "experiments"
+    device: str = "auto"  # kept for key parity; JAX picks the backend
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        """Build from a (possibly flat, reference-style) dict.
+
+        Flat reference keys (num_points, batch_size, learning_rate, ...) are
+        routed to the right sub-config; nested dicts override directly.
+        """
+        cfg = cls()
+        flat_routes = {
+            "num_points": ("data", "num_points"),
+            "block_size": ("data", "block_size"),
+            "sample_rate": ("data", "sample_rate"),
+            "chunk_size": ("data", "chunk_size"),
+            "overlap": ("data", "overlap"),
+            "num_workers": ("data", "num_workers"),
+            "train_dir": ("data", "train_dir"),
+            "val_dir": ("data", "val_dir"),
+            "batch_size": ("train", "batch_size"),
+            "num_epochs": ("train", "num_epochs"),
+            "learning_rate": ("train", "learning_rate"),
+            "num_classes": ("model", "num_classes"),
+            "model": ("model", "name"),
+        }
+        for k, v in d.items():
+            if k in ("case", "exp_dir_root", "device"):
+                setattr(cfg, k, v)
+            elif k in flat_routes:
+                sub, attr = flat_routes[k]
+                setattr(getattr(cfg, sub), attr, v)
+            elif k in ("data", "model", "loss", "train", "parallel") and isinstance(
+                v, dict
+            ):
+                sub = getattr(cfg, k)
+                for kk, vv in v.items():
+                    if hasattr(sub, kk):
+                        setattr(sub, kk, vv)
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)

@@ -44,6 +44,7 @@ class SharedMLP(nn.Module):
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
+                    momentum=0.9,  # torch BatchNorm default (momentum=0.1)
                     axis_name=self.axis_name,
                     name=f"bn_{i}",
                 )(x)
@@ -207,7 +208,8 @@ class EnhancedFeaturePropagation(nn.Module):
         # channel attention (Conv1d/BN/ReLU/Conv1d/Sigmoid in the reference)
         attn = nn.Dense(in_ch // 4, name="attn_dense0")(fused)
         attn = nn.BatchNorm(
-            use_running_average=not train, axis_name=self.axis_name, name="attn_bn"
+            use_running_average=not train, momentum=0.9,
+            axis_name=self.axis_name, name="attn_bn",
         )(attn)
         attn = nn.relu(attn)
         attn = nn.sigmoid(nn.Dense(in_ch, name="attn_dense1")(attn))
@@ -240,7 +242,8 @@ class SegHead(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.Dense(self.hidden, name="dense0")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, axis_name=self.axis_name, name="bn0"
+            use_running_average=not train, momentum=0.9,
+            axis_name=self.axis_name, name="bn0",
         )(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

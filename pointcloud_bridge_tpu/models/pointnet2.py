@@ -33,19 +33,21 @@ class PointNet2SSG(nn.Module):
 
     num_classes: int = 5
     axis_name: Optional[str] = None
+    sa_npoints: tuple = (1024, 256, 64)  # reference sizes; shrink for tests
 
     @nn.compact
     def __call__(
         self, xyz: jax.Array, features: Optional[jax.Array], train: bool = False
     ) -> jax.Array:
         ax = self.axis_name
-        l1_xyz, l1 = SetAbstraction(1024, 0.1, 32, (64, 64, 128), ax, name="sa1")(
+        n1, n2, n3 = self.sa_npoints
+        l1_xyz, l1 = SetAbstraction(n1, 0.1, 32, (64, 64, 128), ax, name="sa1")(
             xyz, features, train
         )
-        l2_xyz, l2 = SetAbstraction(256, 0.2, 32, (128, 128, 256), ax, name="sa2")(
+        l2_xyz, l2 = SetAbstraction(n2, 0.2, 32, (128, 128, 256), ax, name="sa2")(
             l1_xyz, l1, train
         )
-        l3_xyz, l3 = SetAbstraction(64, 0.4, 32, (256, 256, 512), ax, name="sa3")(
+        l3_xyz, l3 = SetAbstraction(n3, 0.4, 32, (256, 256, 512), ax, name="sa3")(
             l2_xyz, l2, train
         )
 

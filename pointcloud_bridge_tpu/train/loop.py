@@ -1,0 +1,293 @@
+"""Training engine: functional train/eval steps under jit + the epoch loop.
+
+Mirrors the reference trainer skeleton (SURVEY.md §3.1): timestamped
+experiment dir, logger + scalar writer, code snapshot, Adam(wd=1e-4),
+per-epoch validation with per-class accuracy, best/latest checkpoints.
+
+TPU-first deltas: one fused jitted train step (forward+backward+update,
+buffers donated), loss/optimizer as pure functions, lr fed in as a scalar so
+host-side schedulers (plateau/cosine/step) need no re-jit, confusion matrices
+accumulated on device.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from .. import losses as L
+from ..config import Config
+from ..models import get_model
+from ..utils import metrics as M
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.logging import ScalarWriter, initialize_logger, snapshot_code
+from .schedules import ReduceLROnPlateau, cosine_lr, step_decay_lr
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(weight_decay: float = 1e-4) -> optax.GradientTransformation:
+    """torch.optim.Adam(betas=(0.9, 0.999), weight_decay=wd) equivalent:
+    L2 folded into the gradient BEFORE the Adam moments (not AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999),
+    )
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    sample_batch: Dict[str, np.ndarray],
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    xyz = jnp.asarray(sample_batch["points"][:1])
+    feats = jnp.asarray(sample_batch["colors"][:1])
+    variables = model.init({"params": rng, "dropout": rng}, xyz, feats, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def _loss_fn_for(loss_cfg) -> Callable:
+    """Returns loss(logits, labels, xyz, class_weights) -> scalar."""
+    name = loss_cfg.name
+
+    def fn(logits, labels, xyz, class_weights):
+        if name in ("ce", "weighted_ce"):
+            cw = class_weights if loss_cfg.use_class_weights else None
+            return L.weighted_cross_entropy(
+                logits, labels, cw, loss_cfg.label_smoothing
+            )
+        if name == "bridge_structure":
+            return L.bridge_structure_loss(
+                logits,
+                labels,
+                xyz,
+                alpha=loss_cfg.alpha,
+                rel_margin=loss_cfg.rel_margin,
+            )
+        if name == "sol":
+            return L.sol_loss(logits, labels, xyz)
+        raise ValueError(f"unknown loss '{name}'")
+
+    return fn
+
+
+def make_train_step(model, loss_cfg, optimizer, donate: bool = True):
+    loss_fn = _loss_fn_for(loss_cfg)
+
+    def step(state: TrainState, batch, lr, class_weights, rng):
+        xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
+
+        def compute_loss(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                xyz,
+                feats,
+                train=True,
+                rngs={"dropout": jax.random.fold_in(rng, state.step)},
+                mutable=["batch_stats"],
+            )
+            loss = loss_fn(logits, labels, xyz, class_weights)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        acc = jnp.mean((preds == labels).astype(jnp.float32))
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, num_classes: int):
+    def step(params, batch_stats, batch, class_weights):
+        xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, xyz, feats, train=False
+        )
+        loss = L.weighted_cross_entropy(logits, labels, class_weights)
+        preds = jnp.argmax(logits, axis=-1)
+        mask = jnp.broadcast_to(batch["mask"][:, None], labels.shape)
+        cm = M.masked_confusion_matrix(preds, labels, mask, num_classes)
+        return cm, loss
+
+    return jax.jit(step)
+
+
+def train(
+    config: Config,
+    train_ds,
+    val_ds=None,
+    exp_dir: Optional[str] = None,
+    model=None,
+) -> Dict[str, Any]:
+    """Full training run. Returns {history, best_val_acc, exp_dir, state}."""
+    tcfg, mcfg = config.train, config.model
+    if exp_dir is None:
+        ts = time.strftime("%m%d%H%M")
+        exp_dir = os.path.join(config.exp_dir_root, f"exp_{ts}_{config.case}")
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = initialize_logger(exp_dir)
+    writer = ScalarWriter(exp_dir)
+    try:
+        snapshot_code(exp_dir)
+    except Exception:
+        pass
+
+    if model is None:
+        model = get_model(mcfg.name, mcfg.num_classes, **mcfg.extra)
+    optimizer = make_optimizer(tcfg.weight_decay)
+    rng = jax.random.PRNGKey(tcfg.seed)
+
+    sample = next(iter(train_ds.batches(tcfg.batch_size, shuffle=False)))
+    state = create_train_state(model, rng, sample, optimizer)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info(
+        f"model={mcfg.name} params={n_params:,} classes={mcfg.num_classes} "
+        f"blocks={len(train_ds)} batch={tcfg.batch_size}"
+    )
+
+    counts = train_ds.label_counts(mcfg.num_classes)
+    class_weights = L.class_weights_from_counts(jnp.asarray(counts))
+    logger.info(f"class weights: {np.asarray(class_weights)}")
+
+    train_step = make_train_step(model, config.loss, optimizer, tcfg.donate)
+    eval_step = make_eval_step(model, mcfg.num_classes)
+
+    plateau = ReduceLROnPlateau(
+        lr=tcfg.learning_rate,
+        factor=tcfg.plateau_factor,
+        patience=tcfg.plateau_patience,
+        min_lr=tcfg.min_lr,
+    )
+    lr = tcfg.learning_rate
+    best_val_acc = -1.0
+    history = []
+
+    for epoch in range(1, tcfg.num_epochs + 1):
+        if tcfg.scheduler == "cosine":
+            lr = cosine_lr(tcfg.learning_rate, epoch - 1, tcfg.num_epochs)
+        elif tcfg.scheduler == "step":
+            lr = step_decay_lr(
+                tcfg.learning_rate, epoch - 1, tcfg.step_decay, tcfg.step_every,
+                tcfg.min_lr,
+            )
+
+        t0 = time.time()
+        tr_loss, tr_acc, nb = 0.0, 0.0, 0
+        for batch in train_ds.batches(
+            tcfg.batch_size, shuffle=True, seed=tcfg.seed, epoch=epoch
+        ):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, m = train_step(
+                state, batch, jnp.float32(lr), class_weights, rng
+            )
+            tr_loss += float(m["loss"])
+            tr_acc += float(m["acc"])
+            nb += 1
+        tr_loss /= max(nb, 1)
+        tr_acc /= max(nb, 1)
+
+        row = {
+            "epoch": epoch,
+            "lr": lr,
+            "train_loss": tr_loss,
+            "train_acc": tr_acc,
+            "epoch_time_s": time.time() - t0,
+        }
+
+        if val_ds is not None and len(val_ds) > 0:
+            cm_total = np.zeros((mcfg.num_classes, mcfg.num_classes))
+            val_loss, vb = 0.0, 0
+            for batch in val_ds.batches(
+                tcfg.batch_size, shuffle=False, drop_last=False
+            ):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                cm, loss = eval_step(
+                    state.params, state.batch_stats, batch, class_weights
+                )
+                cm_total += np.asarray(cm)
+                val_loss += float(loss)
+                vb += 1
+            mets = M.metrics_from_confusion(cm_total)
+            val_acc = mets["OA"]
+            row.update(
+                val_loss=val_loss / max(vb, 1),
+                val_acc=val_acc,
+                val_miou=mets["mIoU"],
+                val_macc=mets["mAcc"],
+            )
+            for c, a in enumerate(mets["Acc_per_class"]):
+                row[f"class_{c}_acc"] = float(a)
+            if tcfg.scheduler == "plateau":
+                lr = plateau.step(val_acc)
+            if val_acc > best_val_acc:
+                best_val_acc = val_acc
+                save_checkpoint(
+                    os.path.join(exp_dir, "best_model"),
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "epoch": epoch,
+                        "val_acc": float(val_acc),
+                    },
+                )
+
+        save_checkpoint(
+            os.path.join(exp_dir, "latest_checkpoint"),
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "epoch": epoch,
+            },
+        )
+        history.append(row)
+        writer.write(epoch, {k: v for k, v in row.items() if k != "epoch"})
+        logger.info(
+            " ".join(
+                f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in row.items()
+            )
+        )
+
+    writer.close()
+    return {
+        "history": history,
+        "best_val_acc": best_val_acc,
+        "exp_dir": exp_dir,
+        "state": state,
+        "model": model,
+        "class_weights": class_weights,
+    }

@@ -1,0 +1,73 @@
+"""Checkpointing with the reference's best/latest semantics
+(train_MulSca_PN2.py:290-313): `best` saved when val accuracy improves,
+`latest` every epoch, both holding {step/epoch, params, batch_stats,
+opt_state, metrics}.
+
+Orbax is the backend; a flax-serialization msgpack fallback keeps
+checkpoints working if orbax misbehaves in a stripped environment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+
+
+def _orbax():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
+    """Save a pytree checkpoint to `path` (a directory)."""
+    path = os.path.abspath(path)
+    meta = {k: v for k, v in state.items() if isinstance(v, (int, float, str))}
+    tree = {k: v for k, v in state.items() if k not in meta}
+    try:
+        ocp = _orbax()
+        ckptr = ocp.StandardCheckpointer()
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path, tree)
+        ckptr.wait_until_finished()
+    except Exception:
+        from flax import serialization
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(tree))
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def restore_checkpoint(
+    path: str, target: Optional[Dict[str, Any]] = None
+) -> Dict[str, Any]:
+    """Restore a checkpoint saved by save_checkpoint. `target` provides the
+    pytree structure/dtypes (required for the msgpack fallback; recommended
+    always)."""
+    path = os.path.abspath(path)
+    msgpack = os.path.join(path, "state.msgpack")
+    if os.path.exists(msgpack):
+        from flax import serialization
+
+        if target is None:
+            raise ValueError("msgpack restore requires a target pytree")
+        with open(msgpack, "rb") as f:
+            tree = serialization.from_bytes(target, f.read())
+    else:
+        ocp = _orbax()
+        ckptr = ocp.StandardCheckpointer()
+        tree = ckptr.restore(path, target) if target is not None else ckptr.restore(path)
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            tree = dict(tree)
+            tree.update(json.load(f))
+    return tree
