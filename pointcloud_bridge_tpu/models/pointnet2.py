@@ -34,6 +34,7 @@ class PointNet2SSG(nn.Module):
     num_classes: int = 5
     axis_name: Optional[str] = None
     sa_npoints: tuple = (1024, 256, 64)  # reference sizes; shrink for tests
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(
@@ -60,7 +61,9 @@ class PointNet2SSG(nn.Module):
         l0 = FeaturePropagation((128, 128, 128), ax, name="fp1")(
             xyz, l1_xyz, None, l1, train
         )
-        return SegHead(self.num_classes, 128, axis_name=ax, name="head")(l0, train)
+        return SegHead(
+            self.num_classes, 128, self.dropout_rate, axis_name=ax, name="head"
+        )(l0, train)
 
 
 class PointNet2MSG(nn.Module):

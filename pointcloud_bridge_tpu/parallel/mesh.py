@@ -1,0 +1,32 @@
+"""Mesh construction and sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
+    """1-D device mesh over the first `num_devices` devices (0 = all)."""
+    devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
+    """Put a host batch onto the mesh, sharded along the leading axis."""
+    def put(x):
+        spec = P(axis) if np.ndim(x) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: put(np.asarray(v)) for k, v in batch.items()}
+
+
+def replicate(tree: Any, mesh: Mesh):
+    """Replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,127 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: data-parallel training
+step (sync-BN, pmean'd grads) must match single-device math."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_bridge_tpu.config import Config
+from pointcloud_bridge_tpu.models import get_model
+from pointcloud_bridge_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_dp_train_step,
+    make_dp_eval_step,
+)
+from pointcloud_bridge_tpu.train.loop import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _batch(b=8, n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_train_step_runs_and_syncs():
+    mesh = make_mesh()
+    model = get_model(
+        "pointnet2_ssg", num_classes=5, axis_name="data", sa_npoints=(32, 16, 8)
+    )
+    opt = make_optimizer()
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, batch, opt)
+    state = replicate(state, mesh)
+    step = make_dp_train_step(model, Config().loss, opt, mesh)
+    sbatch = shard_batch(batch, mesh)
+    cw = replicate(jnp.ones(5), mesh)
+    state2, m = step(state, sbatch, jnp.float32(1e-3), cw, rng)
+    assert np.isfinite(float(m["loss"]))
+    assert int(state2.step) == 1
+    # params stay replicated and identical across devices
+    p0 = jax.tree.leaves(state2.params)[0]
+    assert p0.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device_grads():
+    """One DP step over 8 shards == one single-device step on the full batch
+    (same loss fn, sync-BN makes the math identical)."""
+    mesh = make_mesh()
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    batch = _batch(b=8, n=64, seed=1)
+    rng = jax.random.PRNGKey(0)
+    opt = make_optimizer()
+
+    # dropout off so per-replica rng streams don't enter the comparison
+    model_dp = get_model(
+        "pointnet2_ssg", num_classes=5, axis_name="data",
+        sa_npoints=(16, 8, 4), dropout_rate=0.0,
+    )
+    model_1d = get_model(
+        "pointnet2_ssg", num_classes=5, sa_npoints=(16, 8, 4), dropout_rate=0.0
+    )
+    state = create_train_state(model_1d, rng, batch, opt)
+
+    # single device
+    step1 = make_train_step(model_1d, cfg.loss, opt, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, m1 = step1(state, jb, jnp.float32(1e-3), jnp.ones(5), rng)
+
+    # data parallel (same initial params); donation off because the test
+    # reads the original state afterwards
+    step8 = make_dp_train_step(model_dp, cfg.loss, opt, mesh, donate=False)
+    s8, m8 = step8(
+        replicate(state, mesh),
+        shard_batch(batch, mesh),
+        jnp.float32(1e-3),
+        replicate(jnp.ones(5), mesh),
+        rng,
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-4)
+    l1 = jax.tree.leaves(s1.params)
+    l8 = jax.tree.leaves(s8.params)
+    l0 = jax.tree.leaves(state.params)
+    # cosine similarity of total param updates
+    d1 = np.concatenate([np.ravel(np.asarray(a) - np.asarray(b)) for a, b in zip(l1, l0)])
+    d8 = np.concatenate([np.ravel(np.asarray(a) - np.asarray(b)) for a, b in zip(l8, l0)])
+    cos = float(d1 @ d8 / (np.linalg.norm(d1) * np.linalg.norm(d8) + 1e-12))
+    assert cos > 0.98, f"DP update diverges from single-device update (cos={cos})"
+
+
+def test_dp_eval_step():
+    mesh = make_mesh()
+    model = get_model(
+        "pointnet2_ssg", num_classes=5, axis_name="data", sa_npoints=(16, 8, 4)
+    )
+    opt = make_optimizer()
+    batch = _batch(b=8, n=64, seed=2)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, opt)
+    evals = make_dp_eval_step(model, 5, mesh)
+    cm, loss = evals(
+        replicate(state.params, mesh),
+        replicate(state.batch_stats, mesh),
+        shard_batch(batch, mesh),
+        replicate(jnp.ones(5), mesh),
+    )
+    cm = np.asarray(cm)
+    assert cm.sum() == 8 * 64  # every point counted once
+    assert np.isfinite(float(loss))
