@@ -8,11 +8,25 @@ from typing import Callable, Dict
 import flax.linen as nn
 
 from .pointnet2 import PointNet2SSG, PointNet2MSG
+from .pointnet import PointNetSeg, PointNetGlobalSeg
+from .dgcnn import DGCNN
+from .randlanet import RandLANet
+from .ptv3 import PointTransformerV3
+from .bristrunet import BriStruNet
 
 MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "pointnet2": PointNet2SSG,  # reference name for the SSG seg model
     "pointnet2_ssg": PointNet2SSG,
     "pointnet2_msg": PointNet2MSG,  # Partsize 9-channel MSG
+    "pointnet": PointNetSeg,  # eva_model's 'PointNet' (pointnet.py:59-173)
+    "pointnet_seg": PointNetSeg,
+    "pointnet_global": PointNetGlobalSeg,  # model.py:301-369 variant
+    "dgcnn": DGCNN,
+    "randlanet": RandLANet,
+    "ptv3": PointTransformerV3,
+    "bristrunet": BriStruNet,  # EnhancedPointNet2 / BridgeSeg (paper model)
+    "enhanced_pointnet2": BriStruNet,
+    "bridgeseg": BriStruNet,
 }
 
 

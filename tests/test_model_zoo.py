@@ -1,0 +1,113 @@
+"""Smoke + contract tests for the wider model zoo (SURVEY.md §2.2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_bridge_tpu.models import get_model, MODEL_REGISTRY
+
+
+def _run(name, feat_ch=3, n=192, train=False, **kw):
+    m = get_model(name, num_classes=5, **kw)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, n, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (2, n, feat_ch))
+    rngs = {"params": key, "dropout": key, "sampling": key}
+    v = m.init(rngs, xyz, feats, train=False)
+    if train:
+        out, _ = m.apply(
+            v, xyz, feats, train=True,
+            rngs={"dropout": key, "sampling": key}, mutable=["batch_stats"],
+        )
+    else:
+        out = m.apply(v, xyz, feats, train=False)
+    return v, out
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("pointnet", {}),
+        ("pointnet_global", {}),
+        ("dgcnn", {"k": 8}),
+        ("randlanet", {}),
+        ("ptv3", {"embed_dim": 64, "depth": 2, "num_heads": 2}),
+        ("bristrunet", {"sa_npoints": (48, 24, 12)}),
+    ],
+)
+def test_zoo_forward_shapes(name, kw):
+    v, out = _run(name, **kw)
+    assert out.shape == (2, 192, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("dgcnn", {"k": 8}),
+        ("randlanet", {}),
+        ("bristrunet", {"sa_npoints": (48, 24, 12)}),
+    ],
+)
+def test_zoo_train_mode(name, kw):
+    v, out = _run(name, train=True, **kw)
+    assert out.shape == (2, 192, 5)
+
+
+def test_pointnet_param_parity():
+    # 3,536,526 params at num_classes=5, feature_dim=3
+    # (model_performance_comparison.csv:2 'PointNet')
+    v, _ = _run("pointnet")
+    n = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert n == 3_536_526
+
+
+def test_pointnet_global_param_parity():
+    # hand-derived from model.py:266-369 (STN3d + conv stack + fc head)
+    v, _ = _run("pointnet_global")
+    n = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert n == 3_224_590
+
+
+def test_pointnet_transform_regularizer_path():
+    m = get_model("pointnet", num_classes=5)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 128, 3))
+    feats = xyz
+    v = m.init(key, xyz, feats, train=False)
+    logits, trans = m.apply(v, xyz, feats, train=False, return_transform=True)
+    assert trans.shape == (2, 64, 64)
+    from pointcloud_bridge_tpu.losses import feature_transform_regularizer
+
+    reg = float(feature_transform_regularizer(trans))
+    assert np.isfinite(reg)
+
+
+def test_ptv3_windowed_equals_shape_and_perm_invariance():
+    """Serialized-window PTv3: output must align with input order (the
+    unsort must undo the Morton sort)."""
+    m = get_model(
+        "ptv3", num_classes=5, embed_dim=32, depth=1, num_heads=2,
+        window_size=64, drop_rate=0.0, attn_drop_rate=0.0,
+    )
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (1, 256, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 3))
+    v = m.init(key, xyz, feats, train=False)
+    out = m.apply(v, xyz, feats, train=False)
+    assert out.shape == (1, 256, 5)
+    # permuting the input points must permute the output identically
+    # (windowing operates in serialized space, independent of input order)
+    perm = jax.random.permutation(jax.random.PRNGKey(2), 256)
+    out_p = m.apply(v, xyz[:, perm], feats[:, perm], train=False)
+    np.testing.assert_allclose(
+        np.asarray(out[:, perm]), np.asarray(out_p), atol=2e-4
+    )
+
+
+def test_registry_aliases():
+    assert MODEL_REGISTRY["bridgeseg"] is MODEL_REGISTRY["bristrunet"]
+    assert MODEL_REGISTRY["pointnet2"] is MODEL_REGISTRY["pointnet2_ssg"]
+    with pytest.raises(KeyError):
+        get_model("nope", 5)
