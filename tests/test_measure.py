@@ -1,0 +1,113 @@
+"""Measurement pipeline tests: a synthetic rectangular deck with noise must be
+measured to within a few percent, and the grid search must rank params."""
+
+import numpy as np
+import pytest
+
+from pointcloud_bridge_tpu.measure import (
+    process_bridge_deck,
+    process_raw,
+    evaluate_result,
+    minimum_bounding_rectangle,
+    detect_and_trim_edges,
+    data_voxel,
+    run_wl_identification,
+)
+from pointcloud_bridge_tpu.measure.optimize import grid_search, parameter_grid
+
+
+def _synthetic_deck(
+    length=20.0, width=6.0, n=20000, angle=0.3, noise=0.01, outliers=0, seed=0
+):
+    """Dense rectangular slab rotated in-plane, slight z noise, optional
+    scattered outliers (simulating misclassified points)."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, length, n)
+    y = rng.uniform(0, width, n)
+    z = 2.7 + rng.normal(0, noise, n)
+    pts = np.stack([x, y, z], 1)
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    pts = pts @ rot.T
+    if outliers:
+        out = np.stack(
+            [
+                rng.uniform(-5, length + 5, outliers),
+                rng.uniform(-5, width + 5, outliers),
+                rng.uniform(0, 5, outliers),
+            ],
+            1,
+        )
+        pts = np.concatenate([pts, out])
+    return pts
+
+
+def test_mbr_exact_rectangle():
+    rect_pts = _synthetic_deck(n=5000, noise=0.0)[:, :2]
+    rect = minimum_bounding_rectangle(rect_pts)
+    sides = sorted(
+        [np.linalg.norm(rect[1] - rect[0]), np.linalg.norm(rect[2] - rect[1])]
+    )
+    assert abs(sides[0] - 6.0) < 0.1
+    assert abs(sides[1] - 20.0) < 0.1
+
+
+def test_process_raw_measures_deck():
+    pts = _synthetic_deck()
+    length, width, trimmed, rect = process_raw(pts)
+    assert abs(length - 20.0) / 20.0 < 0.05
+    assert abs(width - 6.0) / 6.0 < 0.06
+    assert rect.shape == (4, 2)
+
+
+@pytest.mark.slow
+def test_process_bridge_deck_rejects_outliers():
+    pts = _synthetic_deck(outliers=600, seed=1)
+    length, width, trimmed, rect = process_bridge_deck(
+        pts, voxel_size=0.05, isolation_forest_contamination=0.1,
+        lof_n_neighbors=20, lof_contamination=0.05,
+    )
+    assert abs(length - 20.0) / 20.0 < 0.1
+    assert abs(width - 6.0) / 6.0 < 0.12
+
+
+def test_data_voxel_downsamples():
+    pts = _synthetic_deck(n=10000)
+    out = data_voxel(pts, voxel_size=0.5)
+    assert len(out) < len(pts)
+    assert out.shape[1] == 3
+
+
+def test_evaluate_result():
+    assert evaluate_result(10, 5, 10, 5) == 0.0
+    assert abs(evaluate_result(10, 5, 11, 5) - 0.05) < 1e-9
+
+
+@pytest.mark.slow
+def test_run_and_grid_search(tmp_path):
+    raw = _synthetic_deck(seed=2)
+    pred = _synthetic_deck(outliers=200, seed=3)
+    rows = run_wl_identification(
+        [("b1", raw, pred)],
+        out_csv=str(tmp_path / "eval.csv"),
+        hyperparams={
+            "voxel_size": 0.05,
+            "isolation_forest_contamination": 0.1,
+            "lof_n_neighbors": 20,
+            "lof_contamination": 0.05,
+        },
+    )
+    assert len(rows) == 1
+    assert rows[0]["relative_error"] < 0.15
+    assert (tmp_path / "eval.csv").exists()
+
+    grid = {
+        "voxel_size": [0.05],
+        "percentile": [10, 20],
+        "isolation_forest_contamination": [0.1],
+        "lof_contamination": [0.05],
+    }
+    assert len(parameter_grid(grid)) == 2
+    results = grid_search([("b1", raw, pred)], grid)
+    assert len(results) == 2
+    assert results[0]["mean_error"] <= results[1]["mean_error"]
