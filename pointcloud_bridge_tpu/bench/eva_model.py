@@ -1,0 +1,207 @@
+"""Cross-model speed/size benchmark — the eva_model.py harness
+(Highway_bridge/eva_model.py:53-382) rebuilt for TPU:
+
+per model: parameter count & size (:38-51), warmup, timed inference ->
+ms + points/second (:147-172), timed train step -> estimated epoch time
+(:188-264), results CSV (model_performance_comparison.csv schema) and bar
+charts.
+
+TPU methodology note: wall-clock of a single dispatch measures the host<->
+device round trip, not the device. Each timing here runs K chained
+iterations inside ONE jit (the output perturbs the next input so iterations
+serialize and cannot be hoisted) and reports (T_K - T_1)/(K-1).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models import get_model
+from ..train.loop import create_train_state, make_optimizer, make_train_step
+from ..config import Config
+
+# eva_model.py:463-527 zoo (SPG excluded until the graph model lands)
+DEFAULT_ZOO: Dict[str, Dict[str, Any]] = {
+    "pointnet": {},
+    "dgcnn": {"k": 20},
+    "pointnet2_ssg": {},
+    "randlanet": {},
+    "ptv3": {"embed_dim": 384, "depth": 8, "num_heads": 2},
+    "bristrunet": {},
+}
+
+
+def _init_on_cpu(model, key, xyz, feats):
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        v = model.init(
+            {"params": key, "dropout": key, "sampling": key},
+            xyz[:1],
+            feats[:1],
+            train=False,
+        )
+    return jax.device_put(v, jax.devices()[0])
+
+
+def _chained_forward_time(model, variables, xyz, feats, iters: int) -> float:
+    """Median-free amortized per-forward seconds via K chained iterations."""
+
+    def chained(v, x, f, count):
+        def body(i, carry):
+            x, acc = carry
+            out = model.apply(v, x, f, train=False)
+            delta = jnp.tanh(jnp.mean(out)) * 1e-3
+            return (x + delta, acc + jnp.mean(out))
+
+        _, acc = lax.fori_loop(0, count, body, (x, 0.0))
+        return acc
+
+    run = jax.jit(chained, static_argnums=(3,))
+    np.asarray(run(variables, xyz, feats, iters))
+    np.asarray(run(variables, xyz, feats, 1))
+    t0 = time.perf_counter()
+    np.asarray(run(variables, xyz, feats, iters))
+    tk = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(run(variables, xyz, feats, 1))
+    t1 = time.perf_counter() - t0
+    return max((tk - t1) / (iters - 1), 1e-9)
+
+
+def evaluate_model(
+    name: str,
+    num_classes: int = 5,
+    batch_size: int = 4,
+    num_points: int = 4096,
+    iters: int = 10,
+    train_iters: int = 5,
+    steps_per_epoch: int = 100,
+    model_kwargs: Optional[Dict] = None,
+) -> Dict[str, Any]:
+    """Benchmark one model; returns the eva_model CSV row fields."""
+    model = get_model(name, num_classes=num_classes, **(model_kwargs or {}))
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(
+        rng.uniform(size=(batch_size, num_points, 3)), jnp.float32
+    )
+    feats = jnp.asarray(
+        rng.uniform(size=(batch_size, num_points, 3)), jnp.float32
+    )
+    key = jax.random.PRNGKey(0)
+    variables = _init_on_cpu(model, key, np.asarray(xyz), np.asarray(feats))
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+
+    fwd_s = _chained_forward_time(model, variables, xyz, feats, iters)
+    pts_per_sec = batch_size * num_points / fwd_s
+
+    # train step timing
+    batch = {
+        "points": np.asarray(xyz),
+        "colors": np.asarray(feats),
+        "labels": rng.integers(0, num_classes, (batch_size, num_points)).astype(
+            np.int32
+        ),
+        "mask": np.ones(batch_size, bool),
+        "block_ids": np.arange(batch_size, dtype=np.int32),
+    }
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = make_optimizer()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(model, key, batch, opt)
+    state = jax.device_put(state, jax.devices()[0])
+    step = make_train_step(model, cfg.loss, opt, donate=False)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    cw = jnp.ones(num_classes)
+    # chained train steps: state evolves, so iterations serialize naturally
+    np.asarray(step(state, jbatch, jnp.float32(1e-3), cw, key)[1]["loss"])
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(train_iters):
+        s, m = step(s, jbatch, jnp.float32(1e-3), cw, key)
+    np.asarray(m["loss"])
+    train_s = (time.perf_counter() - t0) / train_iters
+
+    return {
+        "model": name,
+        "params": int(n_params),
+        "model_size_mb": round(n_params * 4 / 1024 / 1024, 2),
+        "inference_ms": round(fwd_s * 1e3, 3),
+        "points_per_sec": round(pts_per_sec, 1),
+        "train_step_ms": round(train_s * 1e3, 2),
+        "est_epoch_time_s": round(train_s * steps_per_epoch, 1),
+    }
+
+
+def run_benchmark(
+    zoo: Optional[Dict[str, Dict]] = None,
+    out_dir: str = "benchmark_results",
+    **kwargs,
+) -> List[Dict[str, Any]]:
+    zoo = zoo if zoo is not None else DEFAULT_ZOO
+    rows = []
+    for name, mkw in zoo.items():
+        try:
+            row = evaluate_model(name, model_kwargs=mkw, **kwargs)
+        except Exception as e:  # keep the sweep alive (eva_model.py behavior)
+            row = {"model": name, "error": str(e)[:200]}
+        rows.append(row)
+        print(row, flush=True)
+    os.makedirs(out_dir, exist_ok=True)
+    save_results_csv(rows, os.path.join(out_dir, "model_performance_comparison.csv"))
+    try:
+        _charts(rows, out_dir)
+    except Exception:
+        pass
+    return rows
+
+
+def save_results_csv(rows: List[Dict[str, Any]], path: str) -> None:
+    fields = sorted({k for r in rows for k in r})
+    lead = [f for f in ("model", "params", "model_size_mb", "inference_ms",
+                        "points_per_sec", "train_step_ms", "est_epoch_time_s")
+            if f in fields]
+    fields = lead + [f for f in fields if f not in lead]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+
+
+def _charts(rows: List[Dict[str, Any]], out_dir: str) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ok = [r for r in rows if "points_per_sec" in r]
+    if not ok:
+        return
+    names = [r["model"] for r in ok]
+    for key, title in [
+        ("points_per_sec", "Inference throughput (points/sec)"),
+        ("inference_ms", "Inference latency (ms)"),
+        ("params", "Parameters"),
+        ("train_step_ms", "Train step (ms)"),
+    ]:
+        fig, ax = plt.subplots(figsize=(8, 4))
+        ax.bar(names, [r[key] for r in ok])
+        ax.set_title(title)
+        ax.tick_params(axis="x", rotation=30)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"{key}.png"), dpi=150)
+        plt.close(fig)
+
+
+if __name__ == "__main__":
+    run_benchmark()

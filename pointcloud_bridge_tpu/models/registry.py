@@ -13,6 +13,12 @@ from .dgcnn import DGCNN
 from .randlanet import RandLANet
 from .ptv3 import PointTransformerV3
 from .bristrunet import BriStruNet
+from .cls_models import (
+    PointNet2ClsSSG,
+    PointNet2ClsMSG,
+    PointNetCls,
+    PointNet2SSGPartsize,
+)
 
 MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "pointnet2": PointNet2SSG,  # reference name for the SSG seg model
@@ -27,6 +33,10 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "bristrunet": BriStruNet,  # EnhancedPointNet2 / BridgeSeg (paper model)
     "enhanced_pointnet2": BriStruNet,
     "bridgeseg": BriStruNet,
+    "pointnet_cls": PointNetCls,
+    "pointnet2_cls_ssg": PointNet2ClsSSG,
+    "pointnet2_cls_msg": PointNet2ClsMSG,
+    "pointnet2_sem_seg": PointNet2SSGPartsize,  # Partsize 9-ch SSG seg
 }
 
 

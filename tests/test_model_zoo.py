@@ -111,3 +111,26 @@ def test_registry_aliases():
     assert MODEL_REGISTRY["pointnet2"] is MODEL_REGISTRY["pointnet2_ssg"]
     with pytest.raises(KeyError):
         get_model("nope", 5)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pointnet_cls", "pointnet2_cls_ssg", "pointnet2_cls_msg"],
+)
+def test_cls_models(name):
+    m = get_model(name, num_classes=5)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 192, 3))
+    v = m.init({"params": key, "dropout": key}, xyz, None, train=False)
+    out = m.apply(v, xyz, None, train=False)
+    assert out.shape == (2, 5)
+
+
+def test_partsize_ssg_seg():
+    m = get_model("pointnet2_sem_seg", num_classes=5)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 192, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (2, 192, 9))
+    v = m.init(key, xyz, feats, train=False)
+    out = m.apply(v, xyz, feats, train=False)
+    assert out.shape == (2, 192, 5)
