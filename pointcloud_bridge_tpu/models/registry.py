@@ -13,6 +13,7 @@ from .dgcnn import DGCNN
 from .randlanet import RandLANet
 from .ptv3 import PointTransformerV3
 from .bristrunet import BriStruNet
+from .spg import SuperpointGraph
 from .cls_models import (
     PointNet2ClsSSG,
     PointNet2ClsMSG,
@@ -37,6 +38,8 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "pointnet2_cls_ssg": PointNet2ClsSSG,
     "pointnet2_cls_msg": PointNet2ClsMSG,
     "pointnet2_sem_seg": PointNet2SSGPartsize,  # Partsize 9-ch SSG seg
+    "spg": SuperpointGraph,
+    "superpoint_graph": SuperpointGraph,
 }
 
 

@@ -1,0 +1,255 @@
+"""Superpoint Graph model (Highway_bridge/models/spg.py:8-840), TPU-native.
+
+Capability parity with the reference pipeline: point encoder -> k-means-style
+superpoint partition -> per-superpoint statistical pooling -> superpoint graph
+with 18-dim edge features -> 3x gated/attentive graph convolutions + 2x top-k
+hierarchical pooling -> context-aware global pooling -> classifier ->
+propagation back to points.
+
+TPU-first deltas (the reference deliberately uses per-node Python loops,
+spg.py:485-557):
+  - the partition is batched k-means (argmin over a cdist matrix + one-hot
+    matmul centroid updates) seeded by FPS instead of randperm (deterministic);
+  - superpoint stats use exact segment max/mean/std; the reference's
+    median/quartile (spg.py:343-356) are approximated as mean and
+    mean + 0.675*std (Gaussian quantiles) to stay sort-free;
+  - graph convolution is dense masked attention over [B, S, S] (S ~ N/50),
+    identical math to the reference's neighbor loops;
+  - the try/except zero-logit fallback (spg.py:413-435) is dropped — fixed
+    shapes cannot fail at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import farthest_point_sample, index_points
+from ..ops.core import square_distance
+from ..ops.structure import eigh3x3, min_eigvec3x3
+from .common import SharedMLP
+
+
+def _bn(train, axis_name, name):
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, axis_name=axis_name, name=name
+    )
+
+
+def kmeans_partition(xyz: jax.Array, num_superpoints: int, iters: int = 3):
+    """Batched k-means: returns (assignments [B, N] int32,
+    centroids [B, S, 3], onehot [B, N, S] f32)."""
+    seeds = farthest_point_sample(xyz, num_superpoints)
+    centroids = index_points(xyz, seeds)
+    onehot = None
+    for _ in range(iters):
+        d = square_distance(xyz, centroids)  # [B, N, S]
+        assign = jnp.argmin(d, axis=-1)
+        onehot = jax.nn.one_hot(assign, num_superpoints, dtype=jnp.float32)
+        counts = jnp.sum(onehot, axis=1)  # [B, S]
+        sums = jnp.einsum("bns,bnc->bsc", onehot, xyz)
+        new_centroids = sums / jnp.maximum(counts[..., None], 1.0)
+        # empty clusters keep their previous centroid
+        centroids = jnp.where(counts[..., None] > 0, new_centroids, centroids)
+    return assign.astype(jnp.int32), centroids, onehot
+
+
+def segment_stats(feats: jax.Array, onehot: jax.Array, assign: jax.Array):
+    """Exact per-superpoint max/mean/std of point features.
+
+    feats [B, N, C], onehot [B, N, S], assign [B, N] -> each [B, S, C].
+    """
+    s = onehot.shape[-1]
+    counts = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)  # [B, S]
+    mean = jnp.einsum("bns,bnc->bsc", onehot, feats) / counts[..., None]
+    meansq = jnp.einsum("bns,bnc->bsc", onehot, feats**2) / counts[..., None]
+    std = jnp.sqrt(jax.nn.relu(meansq - mean**2) + 1e-12)
+
+    def seg_max(f, ids):
+        return jax.ops.segment_max(f, ids, num_segments=s)
+
+    mx = jax.vmap(seg_max)(feats, assign)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty segments -> 0
+    return mx, mean, std
+
+
+class EnhancedGraphConv(nn.Module):
+    """Gated attentive graph conv (spg.py:440-557), dense-masked."""
+
+    out_channels: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, adjacency, edge_features, train: bool = False):
+        # x [B, S, C], adjacency [B, S, S], edge_features [B, S, S, 18]
+        b, s, c = x.shape
+        self_feat = nn.Dense(self.out_channels, name="self_transform")(x)
+        tn = nn.Dense(self.out_channels, name="neighbor_transform")(x)  # [B,S,Co]
+
+        eh = nn.Dense(32, name="edge_mlp0")(edge_features)
+        eh = nn.relu(eh)
+        eh = nn.relu(nn.Dense(32, name="edge_mlp1")(eh))  # [B, S, S, 32]
+
+        xi = jnp.broadcast_to(x[:, :, None, :], (b, s, s, c))
+        xj = jnp.broadcast_to(x[:, None, :, :], (b, s, s, c))
+        attn_in = jnp.concatenate([xi, xj, eh], axis=-1)
+        a = nn.Dense(32, name="attn0")(attn_in)
+        a = nn.Dense(1, name="attn1")(nn.relu(a))[..., 0]  # [B, S, S]
+        a = jnp.where(adjacency > 0, a, -1e9)
+        a = jax.nn.softmax(a, axis=-1)
+        a = jnp.where(adjacency > 0, a, 0.0)  # isolated rows -> zero messages
+
+        gate_in = jnp.concatenate([xj, eh], axis=-1)
+        g = nn.Dense(64, name="gate0")(gate_in)
+        g = nn.sigmoid(nn.Dense(self.out_channels, name="gate1")(nn.relu(g)))
+
+        msgs = jnp.einsum(
+            "bij,bijc->bic", a, tn[:, None, :, :] * g
+        )  # sum over neighbors j
+        h = jnp.concatenate([self_feat, msgs], axis=-1)
+        h = nn.relu(nn.Dense(self.out_channels, name="combine0")(h))
+        return nn.Dense(self.out_channels, name="combine1")(h)
+
+
+class HierarchicalGraphPooling(nn.Module):
+    """Top-k node pooling by learned score (spg.py:560-640)."""
+
+    ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, adjacency, edge_features):
+        b, s, c = x.shape
+        h = nn.relu(nn.Dense(64, name="score0")(x))
+        h = nn.relu(nn.Dense(16, name="score1")(h))
+        scores = nn.Dense(1, name="score2")(h)[..., 0]  # [B, S]
+        k = max(4, int(s * self.ratio))
+        k = min(k, s)
+        _, idx = jax.lax.top_k(scores, k)  # [B, k]
+        feats = index_points(x, idx)
+        adj = jax.vmap(lambda a, i: a[i][:, i])(adjacency, idx)
+        ef = jax.vmap(lambda e, i: e[i][:, i])(edge_features, idx)
+        return feats, adj, ef
+
+
+class ContextAwareGraphPooling(nn.Module):
+    """Attention-weighted global pooling (spg.py:643-723)."""
+
+    out_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, x, adjacency):
+        a = nn.relu(nn.Dense(64, name="attn0")(x))
+        a = nn.Dense(1, name="attn1")(a)[..., 0]
+        a = jax.nn.softmax(a, axis=-1)
+        pooled = jnp.einsum("bs,bsc->bc", a, x)
+        h = nn.relu(nn.Dense(512, name="global0")(pooled))
+        return nn.relu(nn.Dense(self.out_channels, name="global1")(h))
+
+
+class SuperpointGraph(nn.Module):
+    num_classes: int = 5
+    superpoint_size: int = 50
+    emb_dims: int = 1024
+    kmeans_iters: int = 3
+    knn_k: int = 32
+    axis_name: Optional[str] = None
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: Optional[jax.Array], train: bool = False
+    ) -> jax.Array:
+        ax = self.axis_name
+        b, n, _ = xyz.shape
+        if features is None:
+            features = xyz
+        x_in = jnp.concatenate([xyz, features], axis=-1)
+
+        point_feats = SharedMLP((64, 128, 256, 256), axis_name=ax, name="point_encoder")(
+            x_in, train=train
+        )  # [B, N, 256]
+
+        s = max(32, n // self.superpoint_size)
+        assign, centroids, onehot = kmeans_partition(xyz, s, self.kmeans_iters)
+        counts = jnp.sum(onehot, axis=1)  # [B, S]
+
+        # statistical pooling (spg.py:322-357): weighted [max, mean, std,
+        # median~mean, q75~mean+0.675std]
+        mx, mean, std = segment_stats(point_feats, onehot, assign)
+        sp_feats = 0.5 * mx + 0.2 * mean + 0.1 * std + 0.1 * mean + 0.1 * (
+            mean + 0.675 * std
+        )
+        sp_feats = SharedMLP((256, 256, 256), axis_name=ax, name="sp_encoder")(
+            sp_feats, train=train
+        )
+
+        # shape descriptor per superpoint (spg.py:226-254): eigvals (3),
+        # principal direction (3), std x/y (2)
+        xyz_mean = jnp.einsum("bns,bnc->bsc", onehot, xyz) / jnp.maximum(
+            counts[..., None], 1.0
+        )
+        xyz_sq = jnp.einsum("bns,bnc->bsc", onehot, xyz**2) / jnp.maximum(
+            counts[..., None], 1.0
+        )
+        var = jax.nn.relu(xyz_sq - xyz_mean**2)
+        # covariance (full) via E[xy] - E[x]E[y]
+        exy = jnp.einsum("bns,bni,bnj->bsij", onehot, xyz, xyz) / jnp.maximum(
+            counts[..., None, None], 1.0
+        )
+        cov = exy - jnp.einsum("bsi,bsj->bsij", xyz_mean, xyz_mean)
+        ev = eigh3x3(cov)  # descending [B, S, 3]
+        # principal direction = min-eigvec of (trace*I - cov), i.e. max-eigvec
+        tr = cov[..., 0, 0] + cov[..., 1, 1] + cov[..., 2, 2]
+        eye = jnp.eye(3, dtype=cov.dtype)
+        flipped = tr[..., None, None] * eye - cov
+        principal = min_eigvec3x3(flipped)
+        shape_feats = jnp.concatenate(
+            [ev, principal, jnp.sqrt(var[..., :2] + 1e-12)], axis=-1
+        )  # [B, S, 8]
+
+        # graph: kNN over centroids (spg.py:256-263)
+        dmat = square_distance(centroids, centroids)
+        k = min(self.knn_k + 1, s)
+        _, nbr = jax.lax.top_k(-dmat, k)  # includes self
+        adj = jnp.sum(jax.nn.one_hot(nbr, s, dtype=jnp.float32), axis=2)  # [B,S,S]
+
+        # 18-dim edge features (spg.py:265-283)
+        dirs = centroids[:, None, :, :] - centroids[:, :, None, :]  # [B,S,S,3]
+        sf_i = jnp.broadcast_to(shape_feats[:, :, None, :], (b, s, s, 8))
+        sf_j = jnp.broadcast_to(shape_feats[:, None, :, :], (b, s, s, 8))
+        combined6 = jnp.concatenate([sf_j, sf_i], axis=-1)[..., :6]
+        edge_feats = jnp.concatenate(
+            [jnp.sqrt(jax.nn.relu(dmat))[..., None], dirs, sf_j - sf_i, combined6],
+            axis=-1,
+        )  # [B, S, S, 18]
+
+        h = EnhancedGraphConv(256, ax, name="gconv1")(sp_feats, adj, edge_feats, train)
+        h = nn.relu(_bn(train, ax, "gbn1")(h))
+        h, adj1, ef1 = HierarchicalGraphPooling(0.5, name="gpool1")(h, adj, edge_feats)
+        h = EnhancedGraphConv(384, ax, name="gconv2")(h, adj1, ef1, train)
+        h = nn.relu(_bn(train, ax, "gbn2")(h))
+        h, adj2, ef2 = HierarchicalGraphPooling(0.5, name="gpool2")(h, adj1, ef1)
+        h = EnhancedGraphConv(512, ax, name="gconv3")(h, adj2, ef2, train)
+        h = nn.relu(_bn(train, ax, "gbn3")(h))
+        g = ContextAwareGraphPooling(self.emb_dims, name="gpooling")(h, adj2)
+
+        # classifier (spg.py:75-86)
+        c = nn.relu(_bn(train, ax, "cls_bn1")(nn.Dense(512, name="cls_fc1")(g)))
+        c = nn.Dropout(self.dropout_rate, deterministic=not train)(c)
+        c = nn.relu(_bn(train, ax, "cls_bn2")(nn.Dense(256, name="cls_fc2")(c)))
+        c = nn.Dropout(self.dropout_rate, deterministic=not train)(c)
+        global_logits = nn.Dense(self.num_classes, name="cls_fc3")(c)  # [B, nc]
+
+        # point feature propagation (spg.py:727-840)
+        p = nn.relu(nn.Dense(128, name="pfp_mlp0")(point_feats))
+        p = nn.relu(nn.Dense(64, name="pfp_mlp1")(p))
+        gl = jnp.broadcast_to(
+            global_logits[:, None, :], (b, n, self.num_classes)
+        )
+        p = jnp.concatenate([p, gl], axis=-1)
+        p = nn.relu(nn.Dense(128, name="pfp_comb0")(p))
+        p = nn.relu(nn.Dense(64, name="pfp_comb1")(p))
+        return nn.Dense(self.num_classes, name="pfp_comb2")(p)

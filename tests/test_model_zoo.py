@@ -134,3 +134,26 @@ def test_partsize_ssg_seg():
     v = m.init(key, xyz, feats, train=False)
     out = m.apply(v, xyz, feats, train=False)
     assert out.shape == (2, 192, 5)
+
+
+def test_spg_forward():
+    m = get_model("spg", num_classes=5, superpoint_size=16, knn_k=8)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 512, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (2, 512, 3))
+    v = m.init({"params": key, "dropout": key}, xyz, feats, train=False)
+    out = m.apply(v, xyz, feats, train=False)
+    assert out.shape == (2, 512, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spg_train_mode():
+    m = get_model("spg", num_classes=5, superpoint_size=16, knn_k=8)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 256, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (2, 256, 3))
+    v = m.init({"params": key, "dropout": key}, xyz, feats, train=False)
+    out, _ = m.apply(
+        v, xyz, feats, train=True, rngs={"dropout": key}, mutable=["batch_stats"]
+    )
+    assert out.shape == (2, 256, 5)
