@@ -1,0 +1,136 @@
+// Native host-side preprocessing kernels for the data layer.
+//
+// Replaces the reference's numba.jit point filter (the only compiled code the
+// reference has: Highway_bridge/utils/BriPCDMulti.py:179-189) and the Open3D
+// voxel downsampler (utils/BriPCDMulti_comp.py:521-564) with plain C++,
+// exposed through ctypes (pointcloud_bridge_tpu/data/native.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libpcbpre.so preproc.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+#include <cmath>
+
+extern "C" {
+
+// Mask of points inside the xy box whose z lies within +-z_threshold of the
+// box z-center (BriPCDMulti.find_points_in_block semantics).
+void points_in_block_mask(const float* points, int64_t n,
+                          const float* block_min, const float* block_max,
+                          float z_threshold, uint8_t* mask_out) {
+  const float zc = 0.5f * (block_min[2] + block_max[2]);
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = points[3 * i], y = points[3 * i + 1], z = points[3 * i + 2];
+    mask_out[i] = (x >= block_min[0] && x <= block_max[0] &&
+                   y >= block_min[1] && y <= block_max[1] &&
+                   std::fabs(z - zc) <= z_threshold)
+                      ? 1
+                      : 0;
+  }
+}
+
+// Batched variant: one mask row per block center (xy box of size block_size
+// centered at each center, z within +-z_threshold of the center z).
+void multi_block_masks(const float* points, int64_t n, const float* centers,
+                       int64_t m, float block_size, float z_threshold,
+                       uint8_t* mask_out /* m x n */) {
+  const float h = 0.5f * block_size;
+  for (int64_t b = 0; b < m; ++b) {
+    const float cx = centers[3 * b], cy = centers[3 * b + 1],
+                cz = centers[3 * b + 2];
+    uint8_t* row = mask_out + b * n;
+    for (int64_t i = 0; i < n; ++i) {
+      const float x = points[3 * i], y = points[3 * i + 1],
+                  z = points[3 * i + 2];
+      row[i] = (x >= cx - h && x <= cx + h && y >= cy - h && y <= cy + h &&
+                std::fabs(z - cz) <= z_threshold)
+                   ? 1
+                   : 0;
+    }
+  }
+}
+
+struct Key3 {
+  int64_t x, y, z;
+  bool operator==(const Key3& o) const { return x == o.x && y == o.y && z == o.z; }
+};
+struct Key3Hash {
+  size_t operator()(const Key3& k) const {
+    size_t h = static_cast<size_t>(k.x) * 73856093u;
+    h ^= static_cast<size_t>(k.y) * 19349663u;
+    h ^= static_cast<size_t>(k.z) * 83492791u;
+    return h;
+  }
+};
+
+// First-point-per-voxel downsampling (WL_iden.data_voxel semantics: keep the
+// first point encountered in each voxel, in index order). Returns the number
+// of selected indices written to idx_out (caller allocates n entries).
+int64_t voxel_first_indices(const double* points, int64_t n, double voxel_size,
+                            int64_t* idx_out) {
+  std::unordered_map<Key3, int64_t, Key3Hash> seen;
+  seen.reserve(static_cast<size_t>(n));
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    Key3 k{static_cast<int64_t>(std::floor(points[3 * i] / voxel_size)),
+           static_cast<int64_t>(std::floor(points[3 * i + 1] / voxel_size)),
+           static_cast<int64_t>(std::floor(points[3 * i + 2] / voxel_size))};
+    auto it = seen.find(k);
+    if (it == seen.end()) {
+      seen.emplace(k, i);
+      idx_out[count++] = i;
+    }
+  }
+  return count;
+}
+
+// Voxel-centroid downsampling: writes centroids (caller allocates 3n) and the
+// voxel id of every input point; returns the number of voxels.
+int64_t voxel_centroids(const double* points, int64_t n, double voxel_size,
+                        double* centroids_out, int64_t* voxel_id_out) {
+  std::unordered_map<Key3, int64_t, Key3Hash> ids;
+  ids.reserve(static_cast<size_t>(n));
+  std::vector<double> sums;
+  std::vector<int64_t> counts;
+  for (int64_t i = 0; i < n; ++i) {
+    Key3 k{static_cast<int64_t>(std::floor(points[3 * i] / voxel_size)),
+           static_cast<int64_t>(std::floor(points[3 * i + 1] / voxel_size)),
+           static_cast<int64_t>(std::floor(points[3 * i + 2] / voxel_size))};
+    auto it = ids.find(k);
+    int64_t vid;
+    if (it == ids.end()) {
+      vid = static_cast<int64_t>(ids.size());
+      ids.emplace(k, vid);
+      sums.resize(3 * (vid + 1), 0.0);
+      counts.resize(vid + 1, 0);
+    } else {
+      vid = it->second;
+    }
+    voxel_id_out[i] = vid;
+    sums[3 * vid] += points[3 * i];
+    sums[3 * vid + 1] += points[3 * i + 1];
+    sums[3 * vid + 2] += points[3 * i + 2];
+    counts[vid] += 1;
+  }
+  const int64_t m = static_cast<int64_t>(ids.size());
+  for (int64_t v = 0; v < m; ++v) {
+    centroids_out[3 * v] = sums[3 * v] / counts[v];
+    centroids_out[3 * v + 1] = sums[3 * v + 1] / counts[v];
+    centroids_out[3 * v + 2] = sums[3 * v + 2] / counts[v];
+  }
+  return m;
+}
+
+// Per-class histogram of int32 labels (hot in class-weight computation).
+void label_histogram(const int32_t* labels, int64_t n, int32_t num_classes,
+                     int64_t* hist_out) {
+  std::memset(hist_out, 0, sizeof(int64_t) * num_classes);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t l = labels[i];
+    if (l >= 0 && l < num_classes) hist_out[l] += 1;
+  }
+}
+
+}  // extern "C"

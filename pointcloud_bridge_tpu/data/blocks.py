@@ -46,7 +46,16 @@ def points_in_block(
     z_threshold: float = 2.0,
 ) -> np.ndarray:
     """Indices of points inside the xy box and within ±z_threshold of the
-    box z-center (BriPCDMulti.py:179-189)."""
+    box z-center (BriPCDMulti.py:179-189). Uses the native C++ kernel when
+    built (data/native.py), numpy otherwise."""
+    from . import native
+
+    if native.native_available():
+        mask = native.points_in_block_mask(
+            points, np.asarray(block_min, np.float64),
+            np.asarray(block_max, np.float64), z_threshold,
+        )
+        return np.where(mask)[0]
     z_center = (block_min[2] + block_max[2]) / 2.0
     mask = (
         (points[:, 0] >= block_min[0])

@@ -140,10 +140,23 @@ def adaptive_voxel_size(
 
 
 def data_voxel(data: np.ndarray, voxel_size: Optional[float] = None) -> np.ndarray:
-    """First-point-per-voxel downsampling (WL_iden.py:184-197)."""
+    """First-point-per-voxel downsampling (WL_iden.py:184-197). Native C++
+    fast path when built; exact same selection (first point per voxel)."""
     if voxel_size is None:
         voxel_size = adaptive_voxel_size(data)
     pts = data[:, :3]
+    try:
+        from ..data import native
+
+        if native.native_available():
+            idx = native.voxel_first_indices(pts, float(voxel_size))
+            # replicate np.unique's lexicographic voxel ordering exactly
+            # (downstream RANSAC sampling is order-sensitive)
+            c = np.floor(pts[idx] / voxel_size).astype(int)
+            order = np.lexsort((c[:, 2], c[:, 1], c[:, 0]))
+            return pts[idx[order]]
+    except Exception:
+        pass
     coords = np.floor(pts / voxel_size).astype(int)
     _, unique_idx = np.unique(coords, axis=0, return_index=True)
     return pts[unique_idx]
