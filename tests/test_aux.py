@@ -1,0 +1,106 @@
+"""Auxiliary subsystem tests: profiling, determinism, export, statistics,
+dice loss, class maps, debug/smoke tool."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_set_random_seed():
+    from pointcloud_bridge_tpu.utils.determinism import set_random_seed
+
+    k1 = set_random_seed(7)
+    a = np.random.rand(3)
+    k2 = set_random_seed(7)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_span_and_points_per_second():
+    from pointcloud_bridge_tpu.utils.profiling import span, points_per_second
+
+    sink = {}
+    with span("x", sink):
+        pass
+    assert "x" in sink
+
+    def fn(x):
+        return (x @ x.transpose(0, 2, 1)).sum(-1)
+
+    xyz = jnp.ones((2, 64, 3))
+    pps = points_per_second(fn, xyz, iters=4)
+    assert pps > 0
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.utils.export import (
+        dump_hlo_text,
+        export_stablehlo,
+        load_stablehlo,
+    )
+
+    model = get_model("pointnet2_ssg", num_classes=5, sa_npoints=(16, 8, 4))
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (1, 64, 3))
+    feats = xyz
+    v = model.init(key, xyz, feats, train=False)
+    p = export_stablehlo(
+        model, v, str(tmp_path / "model.stablehlo"), 1, 64, 3
+    )
+    fn = load_stablehlo(p)
+    out = fn(xyz, feats)
+    want = model.apply(v, xyz, feats, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+    hlo = dump_hlo_text(model, v, str(tmp_path / "model.hlo.txt"), 1, 64, 3)
+    assert os.path.getsize(hlo) > 1000
+
+
+def test_statistics_suite(tmp_path, rng):
+    from pointcloud_bridge_tpu.measure.evaluation import (
+        bland_altman,
+        comparison_table,
+        dimension_metrics,
+        error_distribution,
+        regression_analysis,
+    )
+
+    truth = rng.uniform(5, 25, 30)
+    measured = truth + rng.normal(0, 0.2, 30)
+    m = dimension_metrics(measured, truth)
+    assert m["MAE"] < 0.5 and abs(m["pearson_r"]) > 0.99
+    ba = bland_altman(measured, truth, str(tmp_path / "ba.png"))
+    assert abs(ba["mean_diff"]) < 0.2
+    assert os.path.exists(str(tmp_path / "ba.png"))
+    ed = error_distribution(measured - truth, str(tmp_path / "ed.png"))
+    assert ed["std"] < 0.5
+    ra = regression_analysis(measured, truth, str(tmp_path / "ra.png"))
+    assert abs(ra["slope"] - 1.0) < 0.05 and ra["r2"] > 0.98
+    rows = comparison_table({"m1": {"measured": measured, "truth": truth}})
+    assert rows[0]["method"] == "m1"
+
+
+def test_dice_and_combined_loss(rng):
+    from pointcloud_bridge_tpu.losses import combined_ce_dice_loss, dice_loss
+
+    labels = jnp.asarray(rng.integers(0, 5, (2, 64)))
+    perfect = jax.nn.one_hot(labels, 5) * 20.0 - 10.0
+    bad = -(jax.nn.one_hot(labels, 5) * 20.0 - 10.0)
+    assert float(dice_loss(perfect, labels)) < 0.01
+    assert float(dice_loss(bad, labels)) > 0.9
+    assert float(combined_ce_dice_loss(perfect, labels)) < float(
+        combined_ce_dice_loss(bad, labels)
+    )
+
+
+def test_class_names():
+    from pointcloud_bridge_tpu.class_names import ROAD_5C, YBC_8C, PARTSIZE_5C, names_list
+
+    assert names_list(ROAD_5C) == ["noise", "abutment", "girder", "slab", "parapet"]
+    assert len(YBC_8C) == 8
+    assert PARTSIZE_5C[0] == "abutment"
