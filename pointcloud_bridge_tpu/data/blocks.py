@@ -181,12 +181,16 @@ def make_training_blocks(
     sample_rate: float = 0.5,
     num_classes: Optional[int] = None,
     weighted: bool = False,
+    stratified: bool = True,
     file_name: str = "",
     seed: int = 0,
     z_threshold: float = 2.0,
 ) -> List[Block]:
-    """Global stratified + local box blocks (BriPCDMulti.py:257-324 /
-    BriPCD_gen.py weighted variant)."""
+    """Global + local box blocks. Global sampling modes:
+      - stratified=True, weighted=False: >=5% per class (BriPCDMulti.py:257-324)
+      - weighted=True: boosted class proportions (BriPCD_gen.py)
+      - stratified=False: plain uniform random (BriPCDMulti_voxel.py:150-236)
+    """
     rng = np.random.default_rng(seed)
     n = len(points)
     iters = max(1, int(n * sample_rate / num_points))
@@ -202,8 +206,11 @@ def make_training_blocks(
             idx = weighted_stratified_sample_indices(
                 labels, num_points, proportions, rng
             )
-        else:
+        elif stratified:
             idx = stratified_sample_indices(labels, num_points, num_classes, 0.05, rng)
+        else:
+            idx = rng.choice(n, num_points, replace=n < num_points)
+            idx = idx.astype(np.int64)
         blocks.append(
             Block(
                 points=normal_points[idx],

@@ -7,7 +7,11 @@ xyz [B, N, 3], features [B, N, C].
 """
 
 from .core import square_distance, index_points
-from .sampling import farthest_point_sample, random_sample_indices
+from .sampling import (
+    farthest_point_sample,
+    random_sample_indices,
+    density_weighted_sample_indices,
+)
 from .grouping import (
     query_ball_point,
     knn,
@@ -23,6 +27,7 @@ __all__ = [
     "index_points",
     "farthest_point_sample",
     "random_sample_indices",
+    "density_weighted_sample_indices",
     "query_ball_point",
     "knn",
     "sample_and_group",

@@ -99,3 +99,24 @@ def random_sample_indices(
         return jax.random.permutation(k, n)[:npoint]
 
     return jax.vmap(one)(keys).astype(jnp.int32)
+
+
+def density_weighted_sample_indices(
+    key: jax.Array, xyz: jax.Array, npoint: int, k: int = 8
+) -> jax.Array:
+    """Density-weighted random sampling (RandLANet_ss.py:8-55): sampling
+    probability inversely proportional to local density (mean kNN distance
+    used as the inverse-density proxy), sampled without replacement via the
+    Gumbel top-k trick.
+
+    xyz: [B, N, 3] -> [B, npoint] int32.
+    """
+    from .grouping import knn_with_distance  # local import: avoid cycle
+
+    d, _ = knn_with_distance(xyz, k=min(k + 1, xyz.shape[1]))
+    # mean distance to neighbors (excluding self at slot 0) ~ 1/density
+    sparsity = jnp.mean(jnp.sqrt(jax.nn.relu(d[..., 1:])), axis=-1)  # [B, N]
+    logits = jnp.log(sparsity + 1e-8)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-12))
+    _, idx = jax.lax.top_k(logits + gumbel, npoint)
+    return idx.astype(jnp.int32)

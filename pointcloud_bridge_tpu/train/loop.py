@@ -150,8 +150,14 @@ def train(
     val_ds=None,
     exp_dir: Optional[str] = None,
     model=None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
-    """Full training run. Returns {history, best_val_acc, exp_dir, state}."""
+    """Full training run. Returns {history, best_val_acc, exp_dir, state}.
+
+    resume=True warm-starts from `exp_dir/latest_checkpoint` when present
+    (Partsize train.py:86-94 warm-start / latest-resume semantics); the epoch
+    counter continues from the stored epoch.
+    """
     tcfg, mcfg = config.train, config.model
     if exp_dir is None:
         ts = time.strftime("%m%d%H%M")
@@ -171,6 +177,26 @@ def train(
 
     sample = next(iter(train_ds.batches(tcfg.batch_size, shuffle=False)))
     state = create_train_state(model, rng, sample, optimizer)
+    start_epoch = 1
+    if resume:
+        ckpt_path = os.path.join(exp_dir, "latest_checkpoint")
+        if os.path.exists(ckpt_path):
+            restored = restore_checkpoint(
+                ckpt_path,
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                },
+            )
+            state = TrainState(
+                step=state.step,
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+            )
+            start_epoch = int(restored.get("epoch", 0)) + 1
+            logger.info(f"resumed from {ckpt_path} at epoch {start_epoch}")
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     logger.info(
         f"model={mcfg.name} params={n_params:,} classes={mcfg.num_classes} "
@@ -194,7 +220,7 @@ def train(
     best_val_acc = -1.0
     history = []
 
-    for epoch in range(1, tcfg.num_epochs + 1):
+    for epoch in range(start_epoch, tcfg.num_epochs + 1):
         if tcfg.scheduler == "cosine":
             lr = cosine_lr(tcfg.learning_rate, epoch - 1, tcfg.num_epochs)
         elif tcfg.scheduler == "step":

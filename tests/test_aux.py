@@ -104,3 +104,62 @@ def test_class_names():
     assert names_list(ROAD_5C) == ["noise", "abutment", "girder", "slab", "parapet"]
     assert len(YBC_8C) == 8
     assert PARTSIZE_5C[0] == "abutment"
+
+
+def test_density_weighted_sampling(rng):
+    from pointcloud_bridge_tpu.ops import density_weighted_sample_indices
+
+    # dense cluster + sparse spread: sparse points should be over-sampled
+    dense = rng.normal(0, 0.01, (1, 900, 3))
+    sparse = rng.uniform(-10, 10, (1, 100, 3))
+    xyz = jnp.asarray(np.concatenate([dense, sparse], axis=1), jnp.float32)
+    idx = np.asarray(
+        density_weighted_sample_indices(jax.random.PRNGKey(0), xyz, 100)
+    )
+    assert idx.shape == (1, 100)
+    sparse_frac = (idx >= 900).mean()
+    assert sparse_frac > 0.5  # sparse 10% of points >50% of samples
+    assert len(set(idx[0].tolist())) == 100  # no replacement
+
+
+def test_train_resume(tmp_path):
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(8000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.2)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict({"num_classes": 5, "batch_size": 4, "num_epochs": 2})
+    cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+    exp = str(tmp_path / "exp")
+    out1 = train(cfg, ds, None, exp_dir=exp)
+    cfg.train.num_epochs = 3
+    out2 = train(cfg, ds, None, exp_dir=exp, resume=True)
+    # resumed run continues from epoch 3 only
+    assert [h["epoch"] for h in out2["history"]] == [3]
+
+
+def test_plain_random_blocks():
+    from pointcloud_bridge_tpu.data import make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+
+    xyz, rgb, labels = toy_bridge_scene(8000, seed=1)
+    blocks = make_training_blocks(
+        xyz, rgb, labels, num_points=256, sample_rate=0.1, stratified=False
+    )
+    assert len(blocks) >= 1
+    assert blocks[0].points.shape == (256, 3)
+
+
+def test_debug_module_smoke():
+    from pointcloud_bridge_tpu.tools.debug_module import smoke_test
+
+    res = smoke_test(
+        "pointnet2_ssg", num_points=128, batch_sizes=(1,),
+        model_kwargs={"sa_npoints": (16, 8, 4)},
+    )
+    assert res["params"] > 0
+    assert res["output_shape"] == (1, 128, 5)
