@@ -18,18 +18,22 @@ previous output, so iterations serialize and cannot be hoisted — and report
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# serving configuration: Pallas FPS kernel (50x the jnp selection loop);
+# must be set before the ops module resolves its dispatch
+os.environ.setdefault("PCB_FPS_PALLAS", "1")
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     from pointcloud_bridge_tpu.models import get_model
 
-    b, n, k_iters = 4, 4096, 16
+    b, n, k_iters = 4, 4096, 12
     model = get_model("pointnet2_ssg", num_classes=5)
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
@@ -43,13 +47,15 @@ def main() -> None:
     variables = jax.device_put(variables, jax.devices()[0])
 
     def chained(v, x, f, count):
-        def body(i, carry):
-            x, acc = carry
+        # UNROLLED python loop (not lax.fori_loop): iterations still
+        # serialize through the data dependency, and the Pallas FPS kernel is
+        # only supported outside lax loop bodies on this stack.
+        acc = 0.0
+        for _ in range(count):
             out = model.apply(v, x, f, train=False)
             delta = jnp.tanh(jnp.mean(out)) * 1e-3
-            return (x + delta, acc + jnp.mean(out))
-
-        _, acc = lax.fori_loop(0, count, body, (x, 0.0))
+            x = x + delta
+            acc = acc + jnp.mean(out)
         return acc
 
     run = jax.jit(chained, static_argnums=(3,))

@@ -28,18 +28,25 @@ from ..ops import (
 
 
 class SharedMLP(nn.Module):
-    """Stack of per-point Dense(+BN+ReLU) layers over the last axis."""
+    """Stack of per-point Dense(+BN+ReLU) layers over the last axis.
+
+    `dtype` sets the computation dtype (params stay f32): bfloat16 doubles
+    MXU throughput on TPU; BatchNorm statistics are computed in f32 by flax.
+    """
 
     features: Sequence[int]
     use_bn: bool = True
     last_activation: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         n = len(self.features)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = nn.Dense(f, dtype=self.dtype, name=f"dense_{i}")(x)
             last = i == n - 1
             if self.use_bn:
                 x = nn.BatchNorm(
@@ -66,6 +73,7 @@ class SetAbstraction(nn.Module):
     nsample: int
     mlp: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -78,9 +86,9 @@ class SetAbstraction(nn.Module):
         new_xyz = index_points(xyz, fps_idx)
         idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
         grouped = group_points(xyz, new_xyz, idx, features)  # [B,S,K,3+C]
-        out = SharedMLP(self.mlp, axis_name=self.axis_name, name="mlp")(
-            grouped, train=train
-        )
+        out = SharedMLP(
+            self.mlp, axis_name=self.axis_name, dtype=self.dtype, name="mlp"
+        )(grouped, train=train)
         return new_xyz, jnp.max(out, axis=2)
 
 
@@ -161,6 +169,7 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -171,12 +180,16 @@ class FeaturePropagation(nn.Module):
         feats_coarse: jax.Array,
         train: bool = False,
     ) -> jax.Array:
-        interp = three_nn_interpolate(xyz_fine, xyz_coarse, feats_coarse, k=3)
-        if feats_fine is not None:
-            interp = jnp.concatenate([feats_fine, interp], axis=-1)
-        return SharedMLP(self.mlp, axis_name=self.axis_name, name="mlp")(
-            interp, train=train
+        interp = three_nn_interpolate(
+            xyz_fine, xyz_coarse, feats_coarse.astype(jnp.float32), k=3
         )
+        if feats_fine is not None:
+            interp = jnp.concatenate(
+                [feats_fine.astype(jnp.float32), interp], axis=-1
+            )
+        return SharedMLP(
+            self.mlp, axis_name=self.axis_name, dtype=self.dtype, name="mlp"
+        )(interp, train=train)
 
 
 class EnhancedFeaturePropagation(nn.Module):
@@ -237,14 +250,20 @@ class SegHead(nn.Module):
     hidden: int = 128
     dropout: float = 0.5
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Dense(self.hidden, name="dense0")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="dense0")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9,
             axis_name=self.axis_name, name="bn0",
         )(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_classes, name="dense1")(x)
+        # logits in f32 for numerically stable losses
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="dense1")(
+            x.astype(jnp.float32)
+        )

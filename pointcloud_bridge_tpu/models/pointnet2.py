@@ -35,34 +35,37 @@ class PointNet2SSG(nn.Module):
     axis_name: Optional[str] = None
     sa_npoints: tuple = (1024, 256, 64)  # reference sizes; shrink for tests
     dropout_rate: float = 0.5
+    compute_dtype: str = "float32"  # "bfloat16" doubles MXU throughput
 
     @nn.compact
     def __call__(
         self, xyz: jax.Array, features: Optional[jax.Array], train: bool = False
     ) -> jax.Array:
         ax = self.axis_name
+        dt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
         n1, n2, n3 = self.sa_npoints
-        l1_xyz, l1 = SetAbstraction(n1, 0.1, 32, (64, 64, 128), ax, name="sa1")(
-            xyz, features, train
-        )
-        l2_xyz, l2 = SetAbstraction(n2, 0.2, 32, (128, 128, 256), ax, name="sa2")(
-            l1_xyz, l1, train
-        )
-        l3_xyz, l3 = SetAbstraction(n3, 0.4, 32, (256, 256, 512), ax, name="sa3")(
-            l2_xyz, l2, train
-        )
+        l1_xyz, l1 = SetAbstraction(
+            n1, 0.1, 32, (64, 64, 128), ax, dt, name="sa1"
+        )(xyz, features, train)
+        l2_xyz, l2 = SetAbstraction(
+            n2, 0.2, 32, (128, 128, 256), ax, dt, name="sa2"
+        )(l1_xyz, l1, train)
+        l3_xyz, l3 = SetAbstraction(
+            n3, 0.4, 32, (256, 256, 512), ax, dt, name="sa3"
+        )(l2_xyz, l2, train)
 
-        l2 = FeaturePropagation((256, 256), ax, name="fp3")(
+        l2 = FeaturePropagation((256, 256), ax, dt, name="fp3")(
             l2_xyz, l3_xyz, l2, l3, train
         )
-        l1 = FeaturePropagation((256, 128), ax, name="fp2")(
+        l1 = FeaturePropagation((256, 128), ax, dt, name="fp2")(
             l1_xyz, l2_xyz, l1, l2, train
         )
-        l0 = FeaturePropagation((128, 128, 128), ax, name="fp1")(
+        l0 = FeaturePropagation((128, 128, 128), ax, dt, name="fp1")(
             xyz, l1_xyz, None, l1, train
         )
         return SegHead(
-            self.num_classes, 128, self.dropout_rate, axis_name=ax, name="head"
+            self.num_classes, 128, self.dropout_rate, axis_name=ax,
+            dtype=dt, name="head",
         )(l0, train)
 
 

@@ -42,6 +42,7 @@ def three_nn_interpolate(
     xyz_src: jax.Array,
     feats_src: jax.Array,
     k: int = 3,
+    approx: bool | None = None,
 ) -> jax.Array:
     """Interpolate features from src points onto dst points.
 
@@ -58,9 +59,16 @@ def three_nn_interpolate(
         n = xyz_dst.shape[1]
         return jnp.broadcast_to(feats_src, (feats_src.shape[0], n, feats_src.shape[2]))
     d = square_distance(xyz_dst, xyz_src)  # [B, N, S]
-    # lax.top_k fuses with the distance matmul on TPU; an iterative-argmin
-    # variant (small_top_k_min) benchmarked ~1.6x slower end-to-end.
-    neg, idx = lax.top_k(-d, k)
+    if approx is None:
+        from .grouping import _approx_default
+
+        approx = _approx_default()
+    # approx_max_k rides the TPU hardware top-k (~3x faster than the full
+    # sort top_k lowers to); an iterative-argmin variant benchmarked slower.
+    if approx and k < s:
+        neg, idx = lax.approx_max_k(-d, k)
+    else:
+        neg, idx = lax.top_k(-d, k)
     dists = -neg
     recip = 1.0 / (dists + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # [B, N, k]
