@@ -89,30 +89,36 @@ def knn(
     xyz: jax.Array,
     query: Optional[jax.Array] = None,
     k: int = 20,
+    approx: bool | None = None,
 ) -> jax.Array:
     """k nearest neighbors by squared Euclidean distance (self included).
 
     Args:
       xyz: [B, N, C] reference points.
       query: [B, S, C] query points; defaults to xyz.
+      approx: use the TPU hardware top-k (recall ~0.95); defaults on for TPU.
     Returns:
       [B, S, k] int32 indices into N, nearest first.
     """
-    if query is None:
-        query = xyz
-    d = square_distance(query, xyz)
-    _, idx = lax.top_k(-d, k)
-    return idx.astype(jnp.int32)
+    return knn_with_distance(xyz, query, k, approx)[1]
 
 
 def knn_with_distance(
-    xyz: jax.Array, query: Optional[jax.Array] = None, k: int = 20
+    xyz: jax.Array,
+    query: Optional[jax.Array] = None,
+    k: int = 20,
+    approx: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like knn() but also returns the squared distances [B, S, k]."""
     if query is None:
         query = xyz
+    if approx is None:
+        approx = _approx_default()
     d = square_distance(query, xyz)
-    neg, idx = lax.top_k(-d, k)
+    if approx and k < xyz.shape[1]:
+        neg, idx = lax.approx_max_k(-d, k)
+    else:
+        neg, idx = lax.top_k(-d, k)
     return (-neg), idx.astype(jnp.int32)
 
 
