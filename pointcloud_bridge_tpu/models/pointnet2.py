@@ -36,6 +36,9 @@ class PointNet2SSG(nn.Module):
     sa_npoints: tuple = (1024, 256, 64)  # reference sizes; shrink for tests
     dropout_rate: float = 0.5
     compute_dtype: str = "float32"  # "bfloat16" doubles MXU throughput
+    # models/pointnet2.py:10-62 variant keeps the raw input features as the
+    # fp1 skip connection (model.py:12-56 passes None)
+    fp1_use_features: bool = False
 
     @nn.compact
     def __call__(
@@ -60,8 +63,9 @@ class PointNet2SSG(nn.Module):
         l1 = FeaturePropagation((256, 128), ax, dt, name="fp2")(
             l1_xyz, l2_xyz, l1, l2, train
         )
+        fp1_skip = features if self.fp1_use_features else None
         l0 = FeaturePropagation((128, 128, 128), ax, dt, name="fp1")(
-            xyz, l1_xyz, None, l1, train
+            xyz, l1_xyz, fp1_skip, l1, train
         )
         return SegHead(
             self.num_classes, 128, self.dropout_rate, axis_name=ax,

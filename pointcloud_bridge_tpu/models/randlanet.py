@@ -140,6 +140,7 @@ class RandLANet(nn.Module):
     encoder_dims: Sequence[int] = (16, 64, 128, 256)
     decoder_dims: Sequence[int] = (256, 128, 64, 32)
     sampling_ratios: Sequence[float] = (0.35, 0.25, 0.25, 0.25)
+    sampling: str = "random"  # "density" = RandLANet_ss density-weighted mode
     axis_name: Optional[str] = None
     dropout_rate: float = 0.5
 
@@ -168,7 +169,12 @@ class RandLANet(nn.Module):
             s = max(1, int(cur_n * self.sampling_ratios[i]))
             if train and self.has_rng("sampling"):
                 key = self.make_rng("sampling")
-                idx = random_sample_indices(key, cur_n, s, b)
+                if self.sampling == "density":
+                    from ..ops.sampling import density_weighted_sample_indices
+
+                    idx = density_weighted_sample_indices(key, enc_xyz[-1], s)
+                else:
+                    idx = random_sample_indices(key, cur_n, s, b)
             else:
                 # deterministic stride subset at eval
                 stride = max(1, cur_n // s)

@@ -157,3 +157,27 @@ def test_spg_train_mode():
         v, xyz, feats, train=True, rngs={"dropout": key}, mutable=["batch_stats"]
     )
     assert out.shape == (2, 256, 5)
+
+
+def test_pointnet2_fp1_features_variant():
+    m = get_model("pointnet2_ssg", num_classes=5, sa_npoints=(16, 8, 4),
+                  fp1_use_features=True)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 128, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 3))
+    v = m.init(key, xyz, feats, train=False)
+    out = m.apply(v, xyz, feats, train=False)
+    assert out.shape == (2, 128, 5)
+
+
+def test_randlanet_density_sampling():
+    m = get_model("randlanet", num_classes=5, sampling="density")
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 192, 3))
+    v = m.init({"params": key, "dropout": key, "sampling": key},
+               xyz, None, train=False)
+    out, _ = m.apply(
+        v, xyz, None, train=True,
+        rngs={"dropout": key, "sampling": key}, mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 192, 5)
