@@ -55,13 +55,14 @@ def _chained_forward_time(model, variables, xyz, feats, iters: int) -> float:
     """Median-free amortized per-forward seconds via K chained iterations."""
 
     def chained(v, x, f, count):
-        def body(i, carry):
-            x, acc = carry
+        # UNROLLED (not lax.fori_loop): the Pallas FPS kernel is unsupported
+        # inside lax loop bodies on the current stack; unrolled iterations
+        # still serialize through the data dependency.
+        acc = 0.0
+        for _ in range(count):
             out = model.apply(v, x, f, train=False)
-            delta = jnp.tanh(jnp.mean(out)) * 1e-3
-            return (x + delta, acc + jnp.mean(out))
-
-        _, acc = lax.fori_loop(0, count, body, (x, 0.0))
+            x = x + jnp.tanh(jnp.mean(out)) * 1e-3
+            acc = acc + jnp.mean(out)
         return acc
 
     run = jax.jit(chained, static_argnums=(3,))

@@ -107,6 +107,10 @@ class Config:
         for k, v in d.items():
             if k in ("case", "exp_dir_root", "device"):
                 setattr(cfg, k, v)
+            elif k == "model_extra" and isinstance(v, dict):
+                cfg.model.extra.update(v)
+            elif k == "loss" and isinstance(v, str):
+                cfg.loss.name = v
             elif k in flat_routes:
                 sub, attr = flat_routes[k]
                 setattr(getattr(cfg, sub), attr, v)

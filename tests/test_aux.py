@@ -163,3 +163,24 @@ def test_debug_module_smoke():
     )
     assert res["params"] > 0
     assert res["output_shape"] == (1, 128, 5)
+
+
+def test_config_presets_parse():
+    import glob
+
+    from pointcloud_bridge_tpu.config import Config
+
+    files = sorted(glob.glob("configs/train_*.yaml"))
+    assert len(files) >= 7
+    for f in files:
+        cfg = Config.from_yaml(f)
+        assert cfg.model.num_classes == 5
+        assert cfg.train.num_epochs == 100
+    ptv3 = Config.from_yaml("configs/train_ptv3.yaml")
+    assert ptv3.model.extra == {"embed_dim": 384, "depth": 8, "num_heads": 2}
+    assert ptv3.loss.name == "weighted_ce"
+    bsn = Config.from_yaml("configs/train_bristrunet.yaml")
+    assert bsn.loss.name == "bridge_structure" and bsn.loss.alpha == 80.0
+    assert bsn.data.weighted_sampling is True
+    ps = Config.from_yaml("configs/train_partsize_msg.yaml")
+    assert ps.train.scheduler == "step" and ps.loss.name == "sol"
