@@ -25,6 +25,8 @@ class DataConfig:
     chunk_size: int = 4096  # chunked loaders (data_utils_ver2.py:16)
     overlap: int = 1024
     weighted_sampling: bool = False
+    sampler: str = "stratified"  # stratified|weighted|random|simple|chunked
+    steps_per_file: int = 10  # 'simple' sampler (simpdataset.py)
     augment: bool = True
     cache_dir: Optional[str] = None
     num_workers: int = 0  # host-side; kept for config-key parity

@@ -103,13 +103,23 @@ class BlockDataset:
         sample_rate: float = 0.5,
         num_classes: Optional[int] = None,
         weighted: bool = False,
+        sampler: str = "stratified",
+        chunk_size: int = 8192,
+        overlap: int = 1024,
+        steps_per_file: int = 10,
         cache_dir: Optional[str] = None,
         augment: bool = False,
         seed: int = 0,
     ) -> "BlockDataset":
+        """sampler: 'stratified' (BriPCDMulti) | 'weighted' (BriPCD_gen) |
+        'random' (BriPCDMulti_voxel) | 'simple' (SimplePointCloudDataset) |
+        'chunked' (data_utils_ver2). `weighted=True` implies 'weighted'."""
         files = list(files)
+        if weighted:
+            sampler = "weighted"
         params = (
-            f"np{num_points}_bs{block_size}_sr{sample_rate}_w{weighted}_s{seed}"
+            f"np{num_points}_bs{block_size}_sr{sample_rate}_{sampler}"
+            f"_c{chunk_size}_o{overlap}_st{steps_per_file}_s{seed}"
         )
         cache_path = None
         if cache_dir:
@@ -134,8 +144,22 @@ class BlockDataset:
         names = [os.path.basename(f) for f in files]
         for i, f in enumerate(files):
             pts, cols, labs = _load_scene(f)
-            all_blocks.extend(
-                make_training_blocks(
+            if sampler == "simple":
+                from .samplers_extra import simple_random_blocks
+
+                blocks_i = simple_random_blocks(
+                    pts, cols, labs, num_points, steps_per_file,
+                    file_name=names[i], seed=seed + i,
+                )
+            elif sampler == "chunked":
+                from .samplers_extra import chunked_blocks
+
+                blocks_i = chunked_blocks(
+                    pts, cols, labs, num_points, chunk_size, overlap,
+                    file_name=names[i],
+                )
+            else:
+                blocks_i = make_training_blocks(
                     pts,
                     cols,
                     labs,
@@ -143,11 +167,12 @@ class BlockDataset:
                     block_size=block_size,
                     sample_rate=sample_rate,
                     num_classes=num_classes,
-                    weighted=weighted,
+                    weighted=sampler == "weighted",
+                    stratified=sampler != "random",
                     file_name=names[i],
                     seed=seed + i,
                 )
-            )
+            all_blocks.extend(blocks_i)
         ds = cls.from_blocks(all_blocks, names, augment=augment)
         if cache_path:
             np.savez_compressed(

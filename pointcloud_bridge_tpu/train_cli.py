@@ -38,6 +38,10 @@ def build_datasets(cfg):
         sample_rate=cfg.data.sample_rate,
         num_classes=cfg.model.num_classes,
         weighted=cfg.data.weighted_sampling,
+        sampler=cfg.data.sampler,
+        chunk_size=cfg.data.chunk_size,
+        overlap=cfg.data.overlap,
+        steps_per_file=cfg.data.steps_per_file,
         cache_dir=cfg.data.cache_dir,
         augment=cfg.data.augment,
         seed=cfg.train.seed,
@@ -52,6 +56,10 @@ def build_datasets(cfg):
                 block_size=cfg.data.block_size,
                 sample_rate=cfg.data.sample_rate,
                 num_classes=cfg.model.num_classes,
+                sampler=cfg.data.sampler,
+                chunk_size=cfg.data.chunk_size,
+                overlap=cfg.data.overlap,
+                steps_per_file=cfg.data.steps_per_file,
                 cache_dir=cfg.data.cache_dir,
                 seed=cfg.train.seed + 999,
             )
@@ -74,6 +82,9 @@ def main(argv=None) -> None:
     ap.add_argument("--scheduler", default=None,
                     choices=["plateau", "cosine", "step", "none"])
     ap.add_argument("--weighted-sampling", action="store_true")
+    ap.add_argument("--sampler", default=None,
+                    choices=["stratified", "weighted", "random", "simple",
+                             "chunked"])
     ap.add_argument("--case", default=None)
     args = ap.parse_args(argv)
 
@@ -102,6 +113,8 @@ def main(argv=None) -> None:
         cfg.train.scheduler = args.scheduler
     if args.weighted_sampling:
         cfg.data.weighted_sampling = True
+    if args.sampler:
+        cfg.data.sampler = args.sampler
     if args.case:
         cfg.case = args.case
 

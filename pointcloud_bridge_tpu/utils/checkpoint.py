@@ -64,7 +64,17 @@ def restore_checkpoint(
     else:
         ocp = _orbax()
         ckptr = ocp.StandardCheckpointer()
-        tree = ckptr.restore(path, target) if target is not None else ckptr.restore(path)
+        if target is None:
+            tree = ckptr.restore(path)
+        else:
+            try:
+                tree = ckptr.restore(path, target)
+            except ValueError:
+                # target is a subset of the stored tree (e.g. inference wants
+                # only params/batch_stats, not opt_state): restore the full
+                # tree and project it onto the requested top-level keys
+                full = ckptr.restore(path)
+                tree = {k: full[k] for k in target}
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
