@@ -44,6 +44,40 @@ def _load_scene(path: str):
     )
 
 
+def _build_blocks_for_file(task: dict) -> "List[Block]":
+    """Per-file block construction (top-level so multiprocessing can pickle
+    it — the reference forks a Pool over files, BriPCDMulti_new.py:143-153)."""
+    pts, cols, labs = _load_scene(task["path"])
+    sampler = task["sampler"]
+    if sampler == "simple":
+        from .samplers_extra import simple_random_blocks
+
+        return simple_random_blocks(
+            pts, cols, labs, task["num_points"], task["steps_per_file"],
+            file_name=task["name"], seed=task["seed"],
+        )
+    if sampler == "chunked":
+        from .samplers_extra import chunked_blocks
+
+        return chunked_blocks(
+            pts, cols, labs, task["num_points"], task["chunk_size"],
+            task["overlap"], file_name=task["name"],
+        )
+    return make_training_blocks(
+        pts,
+        cols,
+        labs,
+        num_points=task["num_points"],
+        block_size=task["block_size"],
+        sample_rate=task["sample_rate"],
+        num_classes=task["num_classes"],
+        weighted=sampler == "weighted",
+        stratified=sampler != "random",
+        file_name=task["name"],
+        seed=task["seed"],
+    )
+
+
 def _cache_key(files: Sequence[str], params: str) -> str:
     parts = []
     for f in sorted(files):
@@ -110,10 +144,13 @@ class BlockDataset:
         cache_dir: Optional[str] = None,
         augment: bool = False,
         seed: int = 0,
+        processes: int = 0,
     ) -> "BlockDataset":
         """sampler: 'stratified' (BriPCDMulti) | 'weighted' (BriPCD_gen) |
         'random' (BriPCDMulti_voxel) | 'simple' (SimplePointCloudDataset) |
-        'chunked' (data_utils_ver2). `weighted=True` implies 'weighted'."""
+        'chunked' (data_utils_ver2). `weighted=True` implies 'weighted'.
+        processes>1 preprocesses files in a multiprocessing pool (the
+        reference's Pool over files, BriPCDMulti_new.py:143-153)."""
         files = list(files)
         if weighted:
             sampler = "weighted"
@@ -140,39 +177,31 @@ class BlockDataset:
                     augment=augment,
                 )
 
-        all_blocks: List[Block] = []
         names = [os.path.basename(f) for f in files]
-        for i, f in enumerate(files):
-            pts, cols, labs = _load_scene(f)
-            if sampler == "simple":
-                from .samplers_extra import simple_random_blocks
+        tasks = [
+            dict(
+                path=f,
+                name=names[i],
+                sampler=sampler,
+                num_points=num_points,
+                block_size=block_size,
+                sample_rate=sample_rate,
+                num_classes=num_classes,
+                chunk_size=chunk_size,
+                overlap=overlap,
+                steps_per_file=steps_per_file,
+                seed=seed + i,
+            )
+            for i, f in enumerate(files)
+        ]
+        if processes and processes > 1 and len(files) > 1:
+            import multiprocessing as mp
 
-                blocks_i = simple_random_blocks(
-                    pts, cols, labs, num_points, steps_per_file,
-                    file_name=names[i], seed=seed + i,
-                )
-            elif sampler == "chunked":
-                from .samplers_extra import chunked_blocks
-
-                blocks_i = chunked_blocks(
-                    pts, cols, labs, num_points, chunk_size, overlap,
-                    file_name=names[i],
-                )
-            else:
-                blocks_i = make_training_blocks(
-                    pts,
-                    cols,
-                    labs,
-                    num_points=num_points,
-                    block_size=block_size,
-                    sample_rate=sample_rate,
-                    num_classes=num_classes,
-                    weighted=sampler == "weighted",
-                    stratified=sampler != "random",
-                    file_name=names[i],
-                    seed=seed + i,
-                )
-            all_blocks.extend(blocks_i)
+            with mp.Pool(min(processes, len(files))) as pool:
+                per_file = pool.map(_build_blocks_for_file, tasks)
+        else:
+            per_file = [_build_blocks_for_file(t) for t in tasks]
+        all_blocks: List[Block] = [b for blocks in per_file for b in blocks]
         ds = cls.from_blocks(all_blocks, names, augment=augment)
         if cache_path:
             np.savez_compressed(

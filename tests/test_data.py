@@ -174,3 +174,32 @@ def test_block_dataset_cache_and_batches(tmp_path):
     ds.augment = True
     b_aug = next(iter(ds.batches(2, shuffle=False, seed=0)))
     assert not np.allclose(b_aug["points"], ds.points[b_aug["block_ids"]])
+
+
+def test_block_dataset_multiprocess(tmp_path):
+    from pointcloud_bridge_tpu.data import write_h5
+
+    for s in range(2):
+        xyz, rgb, labels = toy_bridge_scene(8000, seed=s)
+        write_h5(str(tmp_path / f"s{s}.h5"), xyz, rgb, labels)
+    files = [str(tmp_path / f"s{s}.h5") for s in range(2)]
+    ds1 = BlockDataset.from_files(files, num_points=256, sample_rate=0.2, seed=0)
+    ds2 = BlockDataset.from_files(
+        files, num_points=256, sample_rate=0.2, seed=0, processes=2
+    )
+    np.testing.assert_array_equal(ds1.points, ds2.points)  # pool == serial
+
+
+def test_block_dataset_sampler_modes(tmp_path):
+    from pointcloud_bridge_tpu.data import write_h5
+
+    xyz, rgb, labels = toy_bridge_scene(8000, seed=0)
+    f = str(tmp_path / "s.h5")
+    write_h5(f, xyz, rgb, labels)
+    for mode in ("stratified", "weighted", "random", "simple", "chunked"):
+        ds = BlockDataset.from_files(
+            [f], num_points=256, sample_rate=0.2, sampler=mode,
+            chunk_size=1024, overlap=128, steps_per_file=3,
+        )
+        assert len(ds) >= 1, mode
+        assert ds.points.shape[1:] == (256, 3), mode
