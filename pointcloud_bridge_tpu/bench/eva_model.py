@@ -203,6 +203,31 @@ def _charts(rows: List[Dict[str, Any]], out_dir: str) -> None:
         fig.savefig(os.path.join(out_dir, f"{key}.png"), dpi=150)
         plt.close(fig)
 
+    # radar chart of normalized metrics (eva_model.py:281-382 radar)
+    import numpy as _np
+
+    axes_keys = ["points_per_sec", "inference_ms", "params", "train_step_ms"]
+    vals = _np.array([[r[k] for k in axes_keys] for r in ok], float)
+    # lower-is-better columns inverted, then max-normalize
+    for j, k in enumerate(axes_keys):
+        if k != "points_per_sec":
+            vals[:, j] = 1.0 / _np.maximum(vals[:, j], 1e-9)
+    vals = vals / _np.maximum(vals.max(axis=0, keepdims=True), 1e-12)
+    ang = _np.linspace(0, 2 * _np.pi, len(axes_keys), endpoint=False).tolist()
+    ang += ang[:1]
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(111, polar=True)
+    for name, row in zip(names, vals):
+        data = row.tolist() + row[:1].tolist()
+        ax.plot(ang, data, label=name)
+        ax.fill(ang, data, alpha=0.08)
+    ax.set_xticks(ang[:-1])
+    ax.set_xticklabels(["throughput", "1/latency", "1/params", "1/train_ms"])
+    ax.legend(loc="upper right", bbox_to_anchor=(1.25, 1.1), fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "radar.png"), dpi=150)
+    plt.close(fig)
+
 
 if __name__ == "__main__":
     run_benchmark()

@@ -16,6 +16,7 @@ from .wl_iden import (
     process_raw,
     evaluate_result,
     run_wl_identification,
+    save_overlay_figure,
 )
 
 __all__ = [
@@ -34,4 +35,5 @@ __all__ = [
     "process_raw",
     "evaluate_result",
     "run_wl_identification",
+    "save_overlay_figure",
 ]

@@ -332,10 +332,39 @@ def evaluate_result(
     return (le + we) / 2
 
 
+def save_overlay_figure(
+    points_trimmed: np.ndarray,
+    rect: np.ndarray,
+    out_path: str,
+    title: str = "",
+) -> str:
+    """Trimmed points + fitted minimum bounding rectangle overlay
+    (WL_iden.py:633-672 / WL_iden_vision.py figures)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.scatter(points_trimmed[:, 0], points_trimmed[:, 1], s=2, alpha=0.5,
+               label="trimmed deck points")
+    closed = np.vstack([rect, rect[:1]])
+    ax.plot(closed[:, 0], closed[:, 1], "r-", lw=2, label="min bounding rect")
+    ax.set_aspect("equal")
+    ax.legend()
+    ax.set_title(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, dpi=200)
+    plt.close(fig)
+    return out_path
+
+
 def run_wl_identification(
     cases: Iterable[Tuple[str, np.ndarray, np.ndarray]],
     out_csv: Optional[str] = None,
     hyperparams: Optional[Dict] = None,
+    fig_dir: Optional[str] = None,
 ) -> List[Dict]:
     """Batch driver mirroring WL_iden.py __main__ (:559-676).
 
@@ -361,7 +390,7 @@ def run_wl_identification(
     for name, raw_pts, pred_pts in cases:
         t0 = time.time()
         l_raw, w_raw, _, _ = process_raw(raw_pts, percentile=hp["percentile"])
-        l_pred, w_pred, _, _ = process_bridge_deck(
+        l_pred, w_pred, trimmed, rect = process_bridge_deck(
             pred_pts,
             voxel_size=hp["voxel_size"],
             ransac_max_trials=hp["ransac_max_trials"],
@@ -372,6 +401,15 @@ def run_wl_identification(
             percentile=hp["percentile"],
         )
         err = evaluate_result(l_raw, w_raw, l_pred, w_pred)
+        if fig_dir:
+            try:
+                save_overlay_figure(
+                    trimmed, rect, os.path.join(fig_dir, f"{name}_overlay.png"),
+                    title=f"{name}: {max(l_pred, w_pred):.2f} x "
+                          f"{min(l_pred, w_pred):.2f} m (err {err:.3f})",
+                )
+            except Exception:
+                pass
         rows.append(
             {
                 "name": name,

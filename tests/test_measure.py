@@ -111,3 +111,21 @@ def test_run_and_grid_search(tmp_path):
     results = grid_search([("b1", raw, pred)], grid)
     assert len(results) == 2
     assert results[0]["mean_error"] <= results[1]["mean_error"]
+
+
+def test_overlay_figure_and_fig_dir(tmp_path):
+    raw = _synthetic_deck(seed=4)
+    pred = _synthetic_deck(outliers=100, seed=5)
+    rows = run_wl_identification(
+        [("bX", raw, pred)],
+        hyperparams={
+            "voxel_size": 0.05,
+            "isolation_forest_contamination": 0.1,
+            "lof_n_neighbors": 20,
+            "lof_contamination": 0.05,
+        },
+        fig_dir=str(tmp_path),
+    )
+    import os
+
+    assert os.path.exists(str(tmp_path / "bX_overlay.png"))
