@@ -72,19 +72,19 @@ class BridgeStructureEncoding(nn.Module):
         rel_pos, _ = knn_relative_positions(xyz, k)  # [B, N, k, 3]
         struct = local_structure_features(rel_pos)  # [B, N, 13]
 
-        combined = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    abs_enc[:, :, None, :], rel_pos.shape[:3] + (abs_enc.shape[-1],)
-                ),
-                rel_pos,
-                jnp.broadcast_to(
-                    struct[:, :, None, :], rel_pos.shape[:3] + (13,)
-                ),
-            ],
-            axis=-1,
+        # The reference concatenates [abs_enc | rel_pos | struct] per neighbor
+        # and applies one Dense (attention_modules.py:603-615). abs_enc and
+        # struct are CONSTANT across the k neighbors, so we split that Dense
+        # into a shared part on [B,N,·] plus a per-neighbor part on the 3-dim
+        # rel_pos — mathematically identical (the Dense is linear; parameter
+        # count unchanged) but the [B,N,k,·] matmul shrinks from
+        # 6F+16 channels to 3, ~10x less compute and HBM traffic.
+        shared_in = jnp.concatenate([abs_enc, struct], axis=-1)  # [B, N, 6F+13]
+        shared = nn.Dense(self.channels, use_bias=False, name="mlp0_shared")(
+            shared_in
         )
-        h = nn.Dense(self.channels, name="mlp0")(combined)
+        per_neighbor = nn.Dense(self.channels, name="mlp0_rel")(rel_pos)
+        h = shared[:, :, None, :] + per_neighbor  # [B, N, k, C]
         h = _bn(train, self.axis_name, "bn0")(h)
         h = nn.relu(h)
         h = nn.Dense(self.channels, name="mlp1")(h)
