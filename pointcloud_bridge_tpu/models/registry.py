@@ -14,6 +14,7 @@ from .randlanet import RandLANet
 from .ptv3 import PointTransformerV3
 from .bristrunet import BriStruNet
 from .spg import SuperpointGraph
+from .enhanced_pointnet2 import EnhancedPointNet2SSG
 from .cls_models import (
     PointNet2ClsSSG,
     PointNet2ClsMSG,
@@ -40,6 +41,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "pointnet2_sem_seg": PointNet2SSGPartsize,  # Partsize 9-ch SSG seg
     "spg": SuperpointGraph,
     "superpoint_graph": SuperpointGraph,
+    "enhanced_pointnet2_ssg": EnhancedPointNet2SSG,  # older SSG+EPE variant
 }
 
 

@@ -181,3 +181,15 @@ def test_randlanet_density_sampling():
         rngs={"dropout": key, "sampling": key}, mutable=["batch_stats"],
     )
     assert out.shape == (2, 192, 5)
+
+
+@pytest.mark.parametrize("attn", [False, True])
+def test_enhanced_pointnet2_ssg(attn):
+    m = get_model("enhanced_pointnet2_ssg", num_classes=8,
+                  sa_npoints=(48, 24, 12), use_attention=attn)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 192, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (2, 192, 3))
+    v = m.init({"params": key, "dropout": key}, xyz, feats, train=False)
+    out = m.apply(v, xyz, feats, train=False)
+    assert out.shape == (2, 192, 8)
