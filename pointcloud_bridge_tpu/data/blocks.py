@@ -294,10 +294,13 @@ def whole_scene_grid_blocks(
     block_size: float = 1.0,
     stride: float = 0.5,
     padding: float = 0.001,
+    center_xy: bool = True,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Deterministic sliding-grid coverage of a whole scene
-    (BridgeDataLoader.py:214-277).
+    (BridgeDataLoader.py:214-277). center_xy=False keeps the scene
+    coordinates unmodified (the BriPCDMulti training contract, where blocks
+    carry whole-scene-normalized coordinates).
 
     Returns (data [nb, block_points, 9], labels [nb, block_points],
     weights [nb, block_points], idxs [nb, block_points]) where idxs are the
@@ -339,8 +342,9 @@ def whole_scene_grid_blocks(
             norm_xyz[:, 0] = batch[:, 0] / max(ext[0], 1e-9)
             norm_xyz[:, 1] = batch[:, 1] / max(ext[1], 1e-9)
             norm_xyz[:, 2] = batch[:, 2] / max(ext[2], 1e-9)
-            batch[:, 0] -= s_x + block_size / 2.0
-            batch[:, 1] -= s_y + block_size / 2.0
+            if center_xy:
+                batch[:, 0] -= s_x + block_size / 2.0
+                batch[:, 1] -= s_y + block_size / 2.0
             data = np.concatenate([batch, norm_xyz], axis=1)
             lab = labels[pid].astype(np.int64)
             datas.append(data)

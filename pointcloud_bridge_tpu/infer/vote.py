@@ -37,6 +37,7 @@ def whole_scene_vote_predict(
     num_votes: int = 5,
     batch_size: int = 16,
     feature_mode: str = "xyz_rgb",
+    normalize_scene: bool = False,
     seed: int = 0,
 ) -> Dict[str, Any]:
     """Predict labels for every point of one scene.
@@ -45,9 +46,20 @@ def whole_scene_vote_predict(
       points6: [N, 6] xyzrgb scene; labels: [N]; labelweights: [C] vote weights.
       feature_mode: 'xyz_rgb' feeds (xyz=cols 0:3 of block, feats=rgb);
         'nine' feeds the full 9-channel block as features (Partsize models).
+      normalize_scene: apply the BriPCDMulti whole-scene normalization
+        (centroid-center + divide by max radius) to the coordinates before
+        gridding — REQUIRED for models trained on Highway-style blocks
+        (which see normalized coordinates); block_size/stride are then in
+        normalized units. Partsize models (raw-centered columns) leave this
+        False, matching test_sem_seg.py.
     Returns {pred [N], metrics, vote_pool [N, C]}.
     """
     n = len(points6)
+    if normalize_scene:
+        from ..data.blocks import normalize_points
+
+        points6 = points6.copy()
+        points6[:, :3] = normalize_points(points6[:, :3].astype(np.float64))
     vote_pool = np.zeros((n, num_classes), np.float64)
 
     @jax.jit
@@ -63,6 +75,7 @@ def whole_scene_vote_predict(
             block_points=block_points,
             block_size=block_size,
             stride=stride,
+            center_xy=not normalize_scene,
             seed=seed + vote * 1009,
         )
         nb = len(data)

@@ -96,3 +96,19 @@ def test_las_export_roundtrip(trained, tmp_path):
     las = read_las(p)
     np.testing.assert_array_equal(las.classification, pred)
     np.testing.assert_allclose(las.xyz, xyz, atol=2e-3)
+
+
+def test_whole_scene_vote_normalized_contract(trained):
+    """Highway-style models are trained on whole-scene-normalized blocks;
+    normalize_scene=True applies that contract to the vote grid (validated on
+    TPU: vote OA 0.77 > block-val OA 0.67)."""
+    model, variables, (xyz, rgb, labels), _ = trained
+    pts6 = np.concatenate([xyz, rgb], axis=1)
+    lw = scene_labelweights([labels], 5)
+    res = whole_scene_vote_predict(
+        model, variables, pts6, labels, lw, num_classes=5,
+        block_points=256, block_size=0.5, stride=0.25, num_votes=2,
+        batch_size=8, normalize_scene=True,
+    )
+    assert (res["vote_pool"].sum(axis=1) > 0).all()
+    assert res["metrics"]["OA"] > 0.55
