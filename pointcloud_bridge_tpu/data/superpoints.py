@@ -133,3 +133,38 @@ def pad_graph(
     edge_mask = np.zeros(max_edges, bool)
     edge_mask[: min(e, max_edges)] = True
     return x_p, ei_p, ea_p, node_mask, edge_mask
+
+
+def radius_graph(points: np.ndarray, radius: float, max_degree: int = 32):
+    """Host-side radius graph (utils/graph_utils.py:6-63 capability):
+    returns edge_index [2, E] of pairs within `radius` (bidirectional,
+    capped at max_degree neighbors per node)."""
+    tree = cKDTree(points)
+    pairs = tree.query_ball_point(points, r=radius)
+    edges = []
+    for i, nbrs in enumerate(pairs):
+        count = 0
+        for j in nbrs:
+            if j == i:
+                continue
+            edges.append([i, j])
+            count += 1
+            if count >= max_degree:
+                break
+    if not edges:
+        return np.zeros((2, 0), np.int32)
+    return np.asarray(edges, np.int32).T
+
+
+def local_frames(points: np.ndarray, k: int = 20):
+    """Per-point local coordinate frames from kNN PCA
+    (utils/geometry.py:5-50): returns [N, 3, 3] rotation matrices with rows =
+    (principal, secondary, normal) directions."""
+    tree = cKDTree(points)
+    _, idx = tree.query(points, k=min(k, len(points)))
+    neigh = points[idx]
+    centered = neigh - neigh.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered)
+    w, v = np.linalg.eigh(cov)  # ascending
+    frames = np.stack([v[:, :, 2], v[:, :, 1], v[:, :, 0]], axis=1)
+    return frames

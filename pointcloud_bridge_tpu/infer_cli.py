@@ -31,6 +31,8 @@ def main(argv=None) -> None:
     ap.add_argument("--block-size", type=float, default=1.0)
     ap.add_argument("--stride", type=float, default=0.5)
     ap.add_argument("--export-las", action="store_true")
+    ap.add_argument("--normalize-scene", action="store_true",
+                    help="whole-scene normalization (Highway training contract)")
     args = ap.parse_args(argv)
 
     import jax
@@ -114,6 +116,7 @@ def main(argv=None) -> None:
                 block_points=args.num_points, block_size=args.block_size,
                 stride=args.stride, num_votes=args.num_votes,
                 batch_size=args.batch_size,
+                normalize_scene=args.normalize_scene,
             )
             m = res["metrics"]
             total_cm += m["Confusion_Matrix"]

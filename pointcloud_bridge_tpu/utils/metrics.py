@@ -69,3 +69,17 @@ def metrics_from_confusion(cm: np.ndarray) -> Dict[str, object]:
         "F1_score": float(f1),
         "Confusion_Matrix": cm,
     }
+
+
+def classification_report(
+    preds: np.ndarray, labels: np.ndarray, class_names=None
+) -> str:
+    """sklearn classification report (tool_utils/model_eva.py:46-107)."""
+    from sklearn.metrics import classification_report as _report
+
+    return _report(
+        np.asarray(labels).reshape(-1),
+        np.asarray(preds).reshape(-1),
+        target_names=class_names,
+        zero_division=0,
+    )

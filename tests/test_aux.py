@@ -184,3 +184,41 @@ def test_config_presets_parse():
     assert bsn.data.weighted_sampling is True
     ps = Config.from_yaml("configs/train_partsize_msg.yaml")
     assert ps.train.scheduler == "step" and ps.loss.name == "sol"
+
+
+def test_radius_graph_and_local_frames(rng):
+    from pointcloud_bridge_tpu.data.superpoints import local_frames, radius_graph
+
+    pts = rng.uniform(size=(200, 3))
+    ei = radius_graph(pts, 0.2)
+    assert ei.shape[0] == 2
+    d = np.linalg.norm(pts[ei[0]] - pts[ei[1]], axis=1)
+    assert (d <= 0.2 + 1e-9).all()
+    frames = local_frames(pts, k=10)
+    assert frames.shape == (200, 3, 3)
+    # rows orthonormal
+    eye = np.einsum("nij,nkj->nik", frames, frames)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (200, 1, 1)), atol=1e-5)
+
+
+def test_classification_report(rng):
+    from pointcloud_bridge_tpu.utils.metrics import classification_report
+
+    labels = rng.integers(0, 3, 500)
+    preds = labels.copy()
+    preds[:50] = (preds[:50] + 1) % 3
+    rep = classification_report(preds, labels, ["a", "b", "c"])
+    assert "precision" in rep and "a" in rep
+
+
+def test_bristrunet_29ch_variant():
+    from pointcloud_bridge_tpu.models import get_model
+
+    m = get_model("bristrunet", num_classes=5, input_ch=29,
+                  sa_npoints=(48, 24, 12))
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (1, 192, 3))
+    feats = jax.random.uniform(jax.random.PRNGKey(1), (1, 192, 3))
+    v = m.init({"params": key, "dropout": key}, xyz, feats, train=False)
+    out = m.apply(v, xyz, feats, train=False)
+    assert out.shape == (1, 192, 5)
