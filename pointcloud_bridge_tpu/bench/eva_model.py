@@ -38,6 +38,16 @@ DEFAULT_ZOO: Dict[str, Dict[str, Any]] = {
     "bristrunet": {},
 }
 
+# reference GPU numbers (model_performance_comparison.csv:2-5, BASELINE.md)
+REFERENCE_POINTS_PER_SEC: Dict[str, float] = {
+    "pointnet": 5_852_032.0,
+    "dgcnn": 2_916.0,
+    "pointnet2_ssg": 35_557.0,
+    "pointnet2": 35_557.0,
+    "bristrunet": 43_465.0,
+    "bridgeseg": 43_465.0,
+}
+
 
 def _init_on_cpu(model, key, xyz, feats):
     cpu = jax.devices("cpu")[0]
@@ -133,7 +143,7 @@ def evaluate_model(
     np.asarray(m["loss"])
     train_s = (time.perf_counter() - t0) / train_iters
 
-    return {
+    row = {
         "model": name,
         "params": int(n_params),
         "model_size_mb": round(n_params * 4 / 1024 / 1024, 2),
@@ -142,6 +152,11 @@ def evaluate_model(
         "train_step_ms": round(train_s * 1e3, 2),
         "est_epoch_time_s": round(train_s * steps_per_epoch, 1),
     }
+    ref = REFERENCE_POINTS_PER_SEC.get(name)
+    if ref:
+        row["reference_gpu_points_per_sec"] = ref
+        row["vs_reference"] = round(pts_per_sec / ref, 2)
+    return row
 
 
 def run_benchmark(

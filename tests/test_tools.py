@@ -1,0 +1,90 @@
+"""Tools layer tests: converters, relabeling, downsampling CLIs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pointcloud_bridge_tpu.data import read_las, write_las, read_h5, write_h5
+from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+
+
+@pytest.fixture
+def las_scene(tmp_path):
+    xyz, rgb, labels = toy_bridge_scene(5000, seed=0)
+    p = str(tmp_path / "scene.las")
+    write_las(p, xyz, rgb, labels)
+    return p, xyz, rgb, labels
+
+
+def test_convert_las2h5_h52las(las_scene, tmp_path):
+    from pointcloud_bridge_tpu.tools.convert import main
+
+    p, xyz, rgb, labels = las_scene
+    h5 = str(tmp_path / "scene.h5")
+    main(["las2h5", p, h5])
+    pts, cols, labs = read_h5(h5)
+    np.testing.assert_allclose(pts, xyz, atol=2e-3)
+    np.testing.assert_array_equal(labs, labels)
+    las2 = str(tmp_path / "back.las")
+    main(["h52las", h5, las2])
+    back = read_las(las2)
+    np.testing.assert_array_equal(back.classification, labels)
+
+
+def test_convert_txt2las(tmp_path):
+    from pointcloud_bridge_tpu.tools.convert import main
+
+    rng = np.random.default_rng(0)
+    arr = np.concatenate(
+        [rng.uniform(0, 10, (100, 3)), rng.uniform(0, 255, (100, 3)),
+         rng.integers(0, 5, (100, 1))], axis=1,
+    )
+    txt = str(tmp_path / "pc.txt")
+    np.savetxt(txt, arr)
+    las = str(tmp_path / "pc.las")
+    main(["txt2las", txt, las])
+    out = read_las(las)
+    np.testing.assert_allclose(out.xyz, arr[:, :3], atol=2e-3)
+    np.testing.assert_array_equal(out.classification, arr[:, 6].astype(int))
+
+
+def test_relabel_8c5c_and_custom(las_scene, tmp_path):
+    from pointcloud_bridge_tpu.tools.relabel import MAP_8C_TO_5C, main
+
+    p, xyz, rgb, labels = las_scene
+    out = str(tmp_path / "re.las")
+    main([p, out, "--map", "8c5c"])
+    re = read_las(out)
+    lut = np.zeros(256, np.uint8)
+    for k, v in MAP_8C_TO_5C.items():
+        lut[k] = v
+    np.testing.assert_array_equal(re.classification, lut[labels])
+
+    main([p, out, "--map", "0:4,1:3,2:2,3:1,4:0"])
+    re = read_las(out)
+    np.testing.assert_array_equal(re.classification, 4 - labels)
+
+
+def test_relabel_5c4c(las_scene, tmp_path):
+    from pointcloud_bridge_tpu.tools.relabel import main, map_5c_to_4c
+
+    p, xyz, rgb, labels = las_scene
+    out = str(tmp_path / "re4.las")
+    main([p, out, "--map", "5c4c"])
+    re = read_las(out)
+    np.testing.assert_array_equal(re.classification, map_5c_to_4c(labels))
+
+
+def test_downsample_cli(las_scene, tmp_path):
+    from pointcloud_bridge_tpu.tools.downsample import main, analyze_point_density
+
+    p, xyz, rgb, labels = las_scene
+    out = str(tmp_path / "ds.las")
+    main([p, out, "--voxel-size", "0.5"])
+    ds = read_las(out)
+    assert 0 < len(ds.xyz) < len(xyz)
+    assert set(np.unique(ds.classification)) <= set(np.unique(labels))
+    stats = analyze_point_density(xyz)
+    assert stats["n_points"] == len(xyz)
+    assert stats["mean_nn_distance"] > 0
