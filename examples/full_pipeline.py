@@ -9,6 +9,9 @@ from __future__ import annotations
 import os
 import sys
 
+# allow running as `python examples/full_pipeline.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 

@@ -170,6 +170,23 @@ def train(
     except Exception:
         pass
 
+    # data-parallel mesh (config.parallel.num_devices: 0 = single-device,
+    # >1 or -1 = DP over that many / all devices; SURVEY.md §2.9)
+    ndev_req = config.parallel.num_devices
+    n_avail = len(jax.devices())
+    use_dp = (ndev_req == -1 and n_avail > 1) or ndev_req > 1
+    mesh = None
+    if use_dp:
+        from ..parallel import make_mesh
+
+        ndev = n_avail if ndev_req == -1 else min(ndev_req, n_avail)
+        mesh = make_mesh(ndev, config.parallel.data_axis)
+        if tcfg.batch_size % ndev:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} must divide the mesh size {ndev}"
+            )
+        mcfg.extra.setdefault("axis_name", config.parallel.data_axis)
+
     if model is None:
         model = get_model(mcfg.name, mcfg.num_classes, **mcfg.extra)
     optimizer = make_optimizer(tcfg.weight_decay)
@@ -207,8 +224,33 @@ def train(
     class_weights = L.class_weights_from_counts(jnp.asarray(counts))
     logger.info(f"class weights: {np.asarray(class_weights)}")
 
-    train_step = make_train_step(model, config.loss, optimizer, tcfg.donate)
-    eval_step = make_eval_step(model, mcfg.num_classes)
+    if mesh is not None:
+        from ..parallel import (
+            make_dp_eval_step,
+            make_dp_train_step,
+            replicate,
+            shard_batch,
+        )
+
+        state = replicate(state, mesh)
+        class_weights = replicate(class_weights, mesh)
+        train_step = make_dp_train_step(
+            model, config.loss, optimizer, mesh, config.parallel.data_axis,
+            donate=tcfg.donate,
+        )
+        eval_step = make_dp_eval_step(
+            model, mcfg.num_classes, mesh, config.parallel.data_axis
+        )
+        logger.info(f"data-parallel over {mesh.devices.size} devices")
+
+        def put_batch(b):
+            return shard_batch(b, mesh, config.parallel.data_axis)
+    else:
+        train_step = make_train_step(model, config.loss, optimizer, tcfg.donate)
+        eval_step = make_eval_step(model, mcfg.num_classes)
+
+        def put_batch(b):
+            return {k: jnp.asarray(v) for k, v in b.items()}
 
     plateau = ReduceLROnPlateau(
         lr=tcfg.learning_rate,
@@ -234,7 +276,7 @@ def train(
         for batch in train_ds.batches(
             tcfg.batch_size, shuffle=True, seed=tcfg.seed, epoch=epoch
         ):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = put_batch(batch)
             state, m = train_step(
                 state, batch, jnp.float32(lr), class_weights, rng
             )
@@ -258,7 +300,7 @@ def train(
             for batch in val_ds.batches(
                 tcfg.batch_size, shuffle=False, drop_last=False
             ):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = put_batch(batch)
                 cm, loss = eval_step(
                     state.params, state.batch_stats, batch, class_weights
                 )

@@ -125,3 +125,23 @@ def test_dp_eval_step():
     cm = np.asarray(cm)
     assert cm.sum() == 8 * 64  # every point counted once
     assert np.isfinite(float(loss))
+
+
+def test_train_engine_data_parallel(tmp_path):
+    """train() with config.parallel.num_devices=-1 runs DP over the 8-way
+    mesh end-to-end (sync-BN, sharded batches, replicated checkpoints)."""
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(10000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict({"num_classes": 5, "batch_size": 8, "num_epochs": 2})
+    cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+    cfg.parallel.num_devices = -1
+    out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
+    assert len(out["history"]) == 2
+    assert out["history"][-1]["train_loss"] < out["history"][0]["train_loss"]
+    assert out["best_val_acc"] > 0
