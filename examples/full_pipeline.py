@@ -73,13 +73,15 @@ def main(workdir: str = "/tmp/pcb_example") -> None:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     test_file = os.path.join(workdir, "test", "scene20.las")
     pts, cols, labels = _load_scene(test_file)
-    # NOTE: for vote inference the blocks must match the training contract;
-    # here we reuse the training-normalization-free grid for demonstration.
     lw = scene_labelweights([labels], 5)
     pts6 = np.concatenate([pts, cols], axis=1)
+    # normalize_scene matches the training contract (blocks carry whole-scene
+    # normalized coordinates); block sizes are in normalized units (~scene
+    # radius 12 m -> 8 m raw ~ 0.65 normalized)
     res = whole_scene_vote_predict(
         out["model"], variables, pts6, labels, lw, 5,
-        block_points=1024, block_size=8.0, stride=4.0, num_votes=3,
+        block_points=1024, block_size=0.65, stride=0.33, num_votes=3,
+        normalize_scene=True,
     )
     m = res["metrics"]
     print(f"scene mIoU={m['mIoU']:.4f} OA={m['OA']:.4f}")

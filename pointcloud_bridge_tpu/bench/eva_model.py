@@ -156,6 +156,14 @@ def evaluate_model(
     if ref:
         row["reference_gpu_points_per_sec"] = ref
         row["vs_reference"] = round(pts_per_sec / ref, 2)
+    try:  # host RSS like eva_model.py:184-186
+        import psutil
+
+        row["host_rss_mb"] = round(
+            psutil.Process().memory_info().rss / 1024 / 1024, 1
+        )
+    except Exception:
+        pass
     return row
 
 
