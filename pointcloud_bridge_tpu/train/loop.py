@@ -196,7 +196,11 @@ def train(
     state = create_train_state(model, rng, sample, optimizer)
     start_epoch = 1
     if resume:
+        # latest first, best_model as warm-start fallback
+        # (Partsize train.py:86-94 tries checkpoints/best_model.pth)
         ckpt_path = os.path.join(exp_dir, "latest_checkpoint")
+        if not os.path.exists(ckpt_path):
+            ckpt_path = os.path.join(exp_dir, "best_model")
         if os.path.exists(ckpt_path):
             restored = restore_checkpoint(
                 ckpt_path,
