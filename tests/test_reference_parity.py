@@ -140,3 +140,65 @@ def test_full_deck_pipeline_matches_reference(ref_wl):
     l2, w2, _, rect2 = ref_wl.process_bridge_deck(pts, **kw)
     np.testing.assert_allclose([l1, w1], [l2, w2], rtol=1e-9)
     np.testing.assert_allclose(rect1, rect2, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# REAL-DATA parity: the reference repo commits two real bridge-deck scans
+# (Partsize-identical/output-deck.las, output-deck-test.las). Run the full
+# measurement pipeline on the actual points through both implementations with
+# the reference __main__'s own hyperparameters (WL_iden.py:583-592) and
+# require identical dimensions.
+# ---------------------------------------------------------------------------
+
+_REAL_DECKS = [
+    REF_DIR + "/output-deck.las",
+    REF_DIR + "/output-deck-test.las",
+]
+
+_REF_MAIN_HPARAMS = dict(  # WL_iden.py:583-592 ("no_PCA,CB" row)
+    voxel_size=0.05,
+    ransac_max_trials=1000,
+    ransac_residual_threshold=0.3,
+    isolation_forest_contamination=0.03,
+    lof_n_neighbors=30,
+    lof_contamination="auto",
+    percentile=25,
+)
+
+
+@pytest.mark.parametrize("path", _REAL_DECKS)
+def test_real_deck_raw_branch_matches_reference(ref_wl, path):
+    import os
+
+    from pointcloud_bridge_tpu.data.lasio import read_las
+    import pointcloud_bridge_tpu.measure as M
+
+    if not os.path.exists(path):
+        pytest.skip("committed reference LAS not available")
+    pts = read_las(path).xyz
+    l1, w1, trim1, rect1 = M.process_raw(pts, percentile=25)
+    l2, w2, trim2, rect2 = ref_wl.process_raw(pts, percentile=25)
+    np.testing.assert_allclose([l1, w1], [l2, w2], rtol=1e-12)
+    np.testing.assert_allclose(rect1, rect2, atol=1e-9)
+    np.testing.assert_allclose(trim1, trim2)
+
+
+@pytest.mark.parametrize("path", _REAL_DECKS)
+def test_real_deck_full_pipeline_matches_reference(ref_wl, path):
+    import os
+
+    from pointcloud_bridge_tpu.data.lasio import read_las
+    import pointcloud_bridge_tpu.measure as M
+
+    if not os.path.exists(path):
+        pytest.skip("committed reference LAS not available")
+    pts = read_las(path).xyz
+    l1, w1, _, rect1 = M.process_bridge_deck(pts, **_REF_MAIN_HPARAMS)
+    l2, w2, _, rect2 = ref_wl.process_bridge_deck(pts, **_REF_MAIN_HPARAMS)
+    np.testing.assert_allclose([l1, w1], [l2, w2], rtol=1e-12)
+    np.testing.assert_allclose(rect1, rect2, atol=1e-9)
+    # and the derived relative-error metric agrees bitwise
+    lr, wr, _, _ = M.process_raw(pts, percentile=25)
+    assert M.evaluate_result(lr, wr, l1, w1) == ref_wl.evaluate_result(
+        lr, wr, l2, w2
+    )
