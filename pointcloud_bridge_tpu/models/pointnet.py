@@ -155,3 +155,70 @@ class PointNetGlobalSeg(nn.Module):
         logits = nn.Dense(self.num_classes, name="fc3")(g)
         n = xyz.shape[1]
         return jnp.broadcast_to(logits[:, None, :], (xyz.shape[0], n, self.num_classes))
+
+
+class PointNetSemSegPartsize(nn.Module):
+    """Partsize-identical/models/pointnet_sem_seg.py: 9-channel S3DIS-format
+    PointNet segmentation.
+
+    PointNetEncoder(global_feat=False, feature_transform=True, channel=9)
+    (Partsize-identical/models/pointnet.py:101-150): the input T-Net (STN3d)
+    consumes ALL 9 channels but emits a 3x3 applied to coordinates only; one
+    9->64 conv; 64-d feature transform; [global 1024 | point 64] = 1088 ->
+    512 -> 256 -> 128 -> C head (BN+ReLU on the first three).
+
+    Design delta: returns logits [B, N, C] instead of the reference's
+    log_softmax — the engine's cross-entropy on logits equals the reference's
+    NLLLoss on log-probs. `return_transform=True` also yields the 64-d
+    feature-transform matrix for the ||I - AA^T|| regularizer
+    (pointnet_sem_seg.py:45-55, scale 0.001).
+    """
+
+    num_classes: int = 5
+    with_rgb: bool = True  # 9 channels (xyz-centered, rgb, normalized xyz)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,
+        features: Optional[jax.Array],
+        train: bool = False,
+        return_transform: bool = False,
+    ):
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                axis_name=self.axis_name, name=name,
+            )
+
+        if self.with_rgb and features is not None:
+            pc = jnp.concatenate([xyz, features], axis=-1)  # [B, N, 9]
+        else:
+            pc = xyz  # [B, N, 3]
+
+        # STN3d on all channels -> 3x3 applied to coordinates only
+        trans = TNet(3, self.axis_name, name="stn")(pc, train)
+        # TNet's first Dense consumes pc's full channel count; its output is
+        # k*k with k=3 exactly as STN3d(channel=9) does.
+        coords = jnp.einsum("bnk,bkj->bnj", pc[..., :3], trans)
+        x = jnp.concatenate([coords, pc[..., 3:]], axis=-1)
+
+        x = nn.relu(bn("bn1")(nn.Dense(64, name="conv1")(x)))
+        trans_feat = TNet(64, self.axis_name, name="fstn")(x, train)
+        x = jnp.einsum("bnk,bkj->bnj", x, trans_feat)
+        point_feat = x  # [B, N, 64]
+
+        x = nn.relu(bn("bn2")(nn.Dense(128, name="conv2")(x)))
+        x = bn("bn3")(nn.Dense(1024, name="conv3")(x))  # no relu (ref :138)
+        g = jnp.max(x, axis=1, keepdims=True)  # [B, 1, 1024]
+        g = jnp.broadcast_to(g, (x.shape[0], x.shape[1], 1024))
+        h = jnp.concatenate([g, point_feat], axis=-1)  # [B, N, 1088]
+
+        h = nn.relu(bn("bn_h1")(nn.Dense(512, name="head1")(h)))
+        h = nn.relu(bn("bn_h2")(nn.Dense(256, name="head2")(h)))
+        h = nn.relu(bn("bn_h3")(nn.Dense(128, name="head3")(h)))
+        logits = nn.Dense(self.num_classes, name="head4")(h)
+        if return_transform:
+            return logits, trans_feat
+        return logits

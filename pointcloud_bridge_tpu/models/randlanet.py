@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import index_points, knn
+from ..ops.grouping import knn_stat_weighted
 from ..ops.sampling import random_sample_indices
 
 
@@ -185,6 +186,122 @@ class RandLANet(nn.Module):
             feat_d = index_points(enc_feats[-1], idx)
             agg = LocalFeatureAggregation(
                 dim, self.k, self.axis_name, name=f"lfa{i}"
+            )(xyz_d, feat_d, train)
+            enc_xyz.append(xyz_d)
+            enc_feats.append(agg)
+            cur_n = s
+
+        dec = enc_feats[-1]
+        for i, dim in enumerate(self.decoder_dims):
+            xyz_skip = enc_xyz[-(i + 2)]
+            feat_skip = enc_feats[-(i + 2)]
+            up = _linear_upsample(dec, xyz_skip.shape[1])
+            cat = jnp.concatenate([up, feat_skip], axis=-1)
+            h = nn.relu(
+                bn(f"up{i}_bn1")(nn.Dense(dim, use_bias=False, name=f"up{i}_d1")(cat))
+            )
+            dec = nn.relu(
+                bn(f"up{i}_bn2")(nn.Dense(dim, use_bias=False, name=f"up{i}_d2")(h))
+            )
+
+        h = nn.relu(bn("head_bn")(nn.Dense(64, use_bias=False, name="head_d0")(dec)))
+        h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        return nn.Dense(self.num_classes, name="head_d1")(h)
+
+
+class LocalFeatureAggregationSS(nn.Module):
+    """RandLANet_ss's single shared-MLP LFA
+    (Highway_bridge/models/RandLANet_ss.py:121-163): statistically re-weighted
+    kNN, concat [center feats | feature diffs | centered xyz] (2C+3 channels),
+    3-layer Dense(no bias)+BN+ReLU MLP (out/2, out/2, out), max over k.
+
+    The reference also constructs an AttentivePooling member that its forward
+    never calls (RandLANet_ss.py:138,163) — omitted (dead code)."""
+
+    out_channels: int
+    k: int = 16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool = False):
+        idx = knn_stat_weighted(xyz, k=min(self.k, xyz.shape[1]))
+        neighbors_xyz = index_points(xyz, idx)
+        xyz_centered = neighbors_xyz - xyz[:, :, None, :]
+        if features is not None:
+            nf = index_points(features, idx)
+            f_centered = nf - features[:, :, None, :]
+            center = jnp.broadcast_to(features[:, :, None, :], nf.shape)
+            h = jnp.concatenate([center, f_centered, xyz_centered], axis=-1)
+        else:
+            h = xyz_centered
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                axis_name=self.axis_name, name=name,
+            )
+
+        half = self.out_channels // 2
+        h = nn.relu(bn("bn0")(nn.Dense(half, use_bias=False, name="mlp0")(h)))
+        h = nn.relu(bn("bn1")(nn.Dense(half, use_bias=False, name="mlp1")(h)))
+        h = nn.relu(
+            bn("bn2")(nn.Dense(self.out_channels, use_bias=False, name="mlp2")(h))
+        )
+        return jnp.max(h, axis=2)  # [B, N, out]
+
+
+class RandLANetSS(nn.Module):
+    """The RandLANet_ss variant architecture (RandLANet_ss.py:210-322):
+    density-weighted random sampling (ratio 0.25 each layer), per-layer
+    dynamic k = max(min(16, 16//(i+1)), 4), single shared-MLP LFA, decoder
+    dims [128, 64, 32, 32] with linear-interpolation upsampling."""
+
+    num_classes: int = 5
+    d_in: int = 3
+    encoder_dims: Sequence[int] = (16, 64, 128, 256)
+    decoder_dims: Sequence[int] = (128, 64, 32, 32)
+    sampling_ratios: Sequence[float] = (0.25, 0.25, 0.25, 0.25)
+    axis_name: Optional[str] = None
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: Optional[jax.Array], train: bool = False
+    ) -> jax.Array:
+        b, n, _ = xyz.shape
+        if features is None:
+            inp = xyz[..., : self.d_in]
+        else:
+            inp = jnp.concatenate([xyz, features], axis=-1)[..., : self.d_in]
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                axis_name=self.axis_name, name=name,
+            )
+
+        x = nn.relu(bn("bn_start")(nn.Dense(8, name="fc_start")(inp)))
+
+        enc_xyz = [xyz]
+        enc_feats = [x]
+        cur_n = n
+        for i, dim in enumerate(self.encoder_dims):
+            s = max(1, int(cur_n * self.sampling_ratios[i]))
+            k_i = max(min(16, 16 // (i + 1)), 4)  # RandLANet_ss.py:227
+            if train and self.has_rng("sampling"):
+                from ..ops.sampling import density_weighted_sample_indices
+
+                key = self.make_rng("sampling")
+                idx = density_weighted_sample_indices(key, enc_xyz[-1], s)
+            else:
+                stride = max(1, cur_n // s)
+                idx = jnp.tile(
+                    (jnp.arange(s) * stride % cur_n)[None, :], (b, 1)
+                ).astype(jnp.int32)
+            xyz_d = index_points(enc_xyz[-1], idx)
+            feat_d = index_points(enc_feats[-1], idx)
+            agg = LocalFeatureAggregationSS(
+                dim, k_i, self.axis_name, name=f"lfa{i}"
             )(xyz_d, feat_d, train)
             enc_xyz.append(xyz_d)
             enc_feats.append(agg)

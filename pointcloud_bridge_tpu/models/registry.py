@@ -8,12 +8,13 @@ from typing import Callable, Dict
 import flax.linen as nn
 
 from .pointnet2 import PointNet2SSG, PointNet2MSG
-from .pointnet import PointNetSeg, PointNetGlobalSeg
+from .pointnet import PointNetSeg, PointNetGlobalSeg, PointNetSemSegPartsize
 from .dgcnn import DGCNN
-from .randlanet import RandLANet
+from .randlanet import RandLANet, RandLANetSS
 from .ptv3 import PointTransformerV3
 from .bristrunet import BriStruNet
 from .spg import SuperpointGraph
+from .spt import SPTSegmenter
 from .enhanced_pointnet2 import EnhancedPointNet2SSG
 from .cls_models import (
     PointNet2ClsSSG,
@@ -31,6 +32,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "pointnet_global": PointNetGlobalSeg,  # model.py:301-369 variant
     "dgcnn": DGCNN,
     "randlanet": RandLANet,
+    "randlanet_ss": RandLANetSS,
     "ptv3": PointTransformerV3,
     "bristrunet": BriStruNet,  # EnhancedPointNet2 / BridgeSeg (paper model)
     "enhanced_pointnet2": BriStruNet,
@@ -39,8 +41,11 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "pointnet2_cls_ssg": PointNet2ClsSSG,
     "pointnet2_cls_msg": PointNet2ClsMSG,
     "pointnet2_sem_seg": PointNet2SSGPartsize,  # Partsize 9-ch SSG seg
+    "pointnet_sem_seg": PointNetSemSegPartsize,  # Partsize 9-ch PointNet seg
     "spg": SuperpointGraph,
     "superpoint_graph": SuperpointGraph,
+    "spt": SPTSegmenter,  # point-level SuperPointTransformer wrapper
+    "superpoint_transformer": SPTSegmenter,
     "enhanced_pointnet2_ssg": EnhancedPointNet2SSG,  # older SSG+EPE variant
 }
 

@@ -15,12 +15,18 @@ from .sampling import (
 from .grouping import (
     query_ball_point,
     knn,
+    knn_stat_weighted,
     sample_and_group,
     group_points,
     edge_conv_graph_feature,
 )
 from .interpolate import three_nn_interpolate
 from .structure import eigh3x3, local_structure_features, estimate_normals
+from .avs import (
+    avs_net_sample_indices,
+    avs_voxel_downsample,
+    avs_adapt_voxel_size,
+)
 
 __all__ = [
     "square_distance",
@@ -30,6 +36,7 @@ __all__ = [
     "density_weighted_sample_indices",
     "query_ball_point",
     "knn",
+    "knn_stat_weighted",
     "sample_and_group",
     "group_points",
     "edge_conv_graph_feature",
@@ -37,4 +44,7 @@ __all__ = [
     "eigh3x3",
     "local_structure_features",
     "estimate_normals",
+    "avs_net_sample_indices",
+    "avs_voxel_downsample",
+    "avs_adapt_voxel_size",
 ]

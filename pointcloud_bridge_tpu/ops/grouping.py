@@ -122,6 +122,32 @@ def knn_with_distance(
     return (-neg), idx.astype(jnp.int32)
 
 
+def knn_stat_weighted(
+    xyz: jax.Array, k: int = 16, approx: bool | None = None
+) -> jax.Array:
+    """RandLANet_ss's statistically re-weighted kNN
+    (Highway_bridge/models/RandLANet_ss.py:58-97), vectorized.
+
+    The reference takes the 2k nearest points, computes their mean/std,
+    weights each candidate by exp(-||p - mean||^2 / mean(std + 1e-6)), and
+    keeps the k candidates with the smallest weighted distance. (Its per-point
+    Python loop is replaced by one batched top-k + sort — same selection.)
+
+    Returns [B, N, k] int32 indices.
+    """
+    n = xyz.shape[1]
+    k = min(k, n)
+    k2 = min(2 * k, n)
+    d2, idx2 = knn_with_distance(xyz, k=k2, approx=approx)  # ascending
+    pts = index_points(xyz, idx2)  # [B, N, k2, 3]
+    mean = jnp.mean(pts, axis=2, keepdims=True)
+    std = jnp.std(pts, axis=2, ddof=1)  # [B, N, 3] (torch.std: unbiased)
+    denom = jnp.mean(std + 1e-6, axis=-1, keepdims=True)
+    w = jnp.exp(-jnp.sum((pts - mean) ** 2, axis=-1) / denom)  # [B, N, k2]
+    order = jnp.argsort(d2 * w, axis=-1)[..., :k]
+    return jnp.take_along_axis(idx2, order, axis=-1).astype(jnp.int32)
+
+
 def group_points(
     xyz: jax.Array,
     new_xyz: jax.Array,
