@@ -28,20 +28,32 @@ from ..models import get_model
 from ..train.loop import create_train_state, make_optimizer, make_train_step
 from ..config import Config
 
-# eva_model.py:463-527 zoo (SPG excluded until the graph model lands)
+# The full 7-model reference zoo (eva_model.py:463-527): PointNet, DGCNN
+# (k=32 in the benchmark config), PointNet2, SPG, RandLA, PTv3 (depth=12,
+# heads=6), BridgeSeg. A row's "_model" key overrides the registry name so
+# one architecture can appear in several configs; "_note" documents config
+# deltas vs the reference CSV.
 DEFAULT_ZOO: Dict[str, Dict[str, Any]] = {
     "pointnet": {},
-    "dgcnn": {"k": 20},
+    "dgcnn": {"k": 20, "_note": "trained variant (k=20); no same-config ref row"},
+    "dgcnn_k32": {"_model": "dgcnn_global", "k": 32,
+                  "_note": "reference CSV variant (model.py:372-482, k=32)"},
     "pointnet2_ssg": {},
+    "spg": {},
     "randlanet": {},
-    "ptv3": {"embed_dim": 384, "depth": 8, "num_heads": 2},
+    "ptv3": {"embed_dim": 384, "depth": 8, "num_heads": 2,
+             "_note": "trained config (train_PTV3.py:123-128)"},
+    "ptv3_big": {"_model": "ptv3", "embed_dim": 384, "depth": 12,
+                 "num_heads": 6,
+                 "_note": "reference benchmark config (eva_model.py:506-513)"},
     "bristrunet": {},
 }
 
-# reference GPU numbers (model_performance_comparison.csv:2-5, BASELINE.md)
+# reference GPU numbers (model_performance_comparison.csv:2-5, BASELINE.md);
+# the reference CSV's DGCNN row is the k=32 eva config (1,546,245 params).
 REFERENCE_POINTS_PER_SEC: Dict[str, float] = {
     "pointnet": 5_852_032.0,
-    "dgcnn": 2_916.0,
+    "dgcnn_k32": 2_916.0,
     "pointnet2_ssg": 35_557.0,
     "pointnet2": 35_557.0,
     "bristrunet": 43_465.0,
@@ -98,7 +110,10 @@ def evaluate_model(
     model_kwargs: Optional[Dict] = None,
 ) -> Dict[str, Any]:
     """Benchmark one model; returns the eva_model CSV row fields."""
-    model = get_model(name, num_classes=num_classes, **(model_kwargs or {}))
+    model_kwargs = dict(model_kwargs or {})
+    registry_name = model_kwargs.pop("_model", name)
+    config_note = model_kwargs.pop("_note", None)
+    model = get_model(registry_name, num_classes=num_classes, **model_kwargs)
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(
         rng.uniform(size=(batch_size, num_points, 3)), jnp.float32
@@ -112,6 +127,21 @@ def evaluate_model(
 
     fwd_s = _chained_forward_time(model, variables, xyz, feats, iters)
     pts_per_sec = batch_size * num_points / fwd_s
+
+    # Device peak memory of the compiled inference graph, the analogue of the
+    # reference's torch.cuda.max_memory_allocated (eva_model.py:174-182). The
+    # relay's device.memory_stats() is unavailable, so we use XLA's static
+    # memory analysis: arguments (params + inputs) + outputs + peak temps.
+    device_mem_mb = None
+    try:
+        fwd = jax.jit(lambda v, x, f: model.apply(v, x, f, train=False))
+        ma = fwd.lower(variables, xyz, feats).compile().memory_analysis()
+        device_mem_mb = round(
+            (ma.argument_size_in_bytes + ma.output_size_in_bytes
+             + ma.temp_size_in_bytes) / 1024 / 1024, 1,
+        )
+    except Exception:
+        pass
 
     # train step timing
     batch = {
@@ -152,6 +182,10 @@ def evaluate_model(
         "train_step_ms": round(train_s * 1e3, 2),
         "est_epoch_time_s": round(train_s * steps_per_epoch, 1),
     }
+    if device_mem_mb is not None:
+        row["device_peak_mb"] = device_mem_mb
+    if config_note:
+        row["config_note"] = config_note
     ref = REFERENCE_POINTS_PER_SEC.get(name)
     if ref:
         row["reference_gpu_points_per_sec"] = ref

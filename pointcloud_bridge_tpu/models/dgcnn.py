@@ -75,3 +75,52 @@ class DGCNN(nn.Module):
         x = nn.leaky_relu(bn("bn_p1")(nn.Dense(512, name="point_conv1")(x)), 0.2)
         x = nn.leaky_relu(bn("bn_p2")(nn.Dense(256, name="point_conv2")(x)), 0.2)
         return nn.Dense(self.num_classes, name="point_conv3")(x)
+
+
+class DGCNNGlobal(nn.Module):
+    """The classification-style DGCNN variant the reference's benchmark CSV
+    row was produced with (Highway_bridge/models/model.py:372-482, k=64
+    default; the committed CSV row uses k=32 -> 1,546,245 params): 4 EdgeConvs
+    (64/64/64/128) -> Dense 320->1024 -> global [max|avg] pool (2048) ->
+    Linear 512 -> 256 -> C, logits repeated per point."""
+
+    num_classes: int = 5
+    k: int = 64
+    axis_name: Optional[str] = None
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: Optional[jax.Array], train: bool = False
+    ) -> jax.Array:
+        del features  # reference slices x[:, :3, :] (model.py:444-446)
+        b, n, _ = xyz.shape
+        k = min(self.k, n - 1)
+        ax = self.axis_name
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                axis_name=ax, name=name,
+            )
+
+        x1 = EdgeConv(64, k, ax, name="conv1")(xyz, train)
+        x2 = EdgeConv(64, k, ax, name="conv2")(x1, train)
+        x3 = EdgeConv(64, k, ax, name="conv3")(x2, train)
+        x4 = EdgeConv(128, k, ax, name="conv4")(x3, train)
+        x = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 320]
+
+        x = nn.Dense(1024, use_bias=False, name="conv5")(x)
+        x = nn.leaky_relu(bn("bn5")(x), negative_slope=0.2)
+        g = jnp.concatenate(
+            [jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=-1
+        )  # [B, 2048]
+
+        g = nn.leaky_relu(
+            bn("bn6")(nn.Dense(512, use_bias=False, name="linear1")(g)), 0.2
+        )
+        g = nn.Dropout(self.dropout_rate, deterministic=not train)(g)
+        g = nn.leaky_relu(bn("bn7")(nn.Dense(256, name="linear2")(g)), 0.2)
+        g = nn.Dropout(self.dropout_rate, deterministic=not train)(g)
+        logits = nn.Dense(self.num_classes, name="linear3")(g)
+        return jnp.broadcast_to(logits[:, None, :], (b, n, self.num_classes))

@@ -9,7 +9,7 @@ import flax.linen as nn
 
 from .pointnet2 import PointNet2SSG, PointNet2MSG
 from .pointnet import PointNetSeg, PointNetGlobalSeg, PointNetSemSegPartsize
-from .dgcnn import DGCNN
+from .dgcnn import DGCNN, DGCNNGlobal
 from .randlanet import RandLANet, RandLANetSS
 from .ptv3 import PointTransformerV3
 from .bristrunet import BriStruNet
@@ -31,6 +31,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "pointnet_seg": PointNetSeg,
     "pointnet_global": PointNetGlobalSeg,  # model.py:301-369 variant
     "dgcnn": DGCNN,
+    "dgcnn_global": DGCNNGlobal,  # model.py:372-482 benchmark-CSV variant
     "randlanet": RandLANet,
     "randlanet_ss": RandLANetSS,
     "ptv3": PointTransformerV3,

@@ -234,3 +234,33 @@ def test_spt_trains_one_epoch_through_engine(tmp_path):
     import os as _os
 
     assert _os.path.exists(str(tmp_path / "exp" / "best_model"))
+
+
+# --------------------------------------------------------------------------
+# benchmark-harness completion (VERDICT #4)
+# --------------------------------------------------------------------------
+
+def test_dgcnn_global_param_parity_with_reference_csv():
+    m = get_model("dgcnn_global", num_classes=5, k=32)
+    key = jax.random.PRNGKey(0)
+    xyz = jax.random.uniform(key, (2, 96, 3))
+    v = m.init({"params": key, "dropout": key}, xyz, None, train=False)
+    n = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert n == 1_546_245  # model_performance_comparison.csv:3 'DGCNN'
+    out = m.apply(v, xyz, None, train=False)
+    assert out.shape == (2, 96, 5)
+    # per-point logits are the repeated scene logits (model.py:478-480)
+    np.testing.assert_allclose(out[:, 0], out[:, 50], rtol=1e-6)
+
+
+def test_eva_row_has_memory_and_note_fields():
+    from pointcloud_bridge_tpu.bench.eva_model import DEFAULT_ZOO, evaluate_model
+
+    assert {"spg", "ptv3_big", "dgcnn_k32"} <= set(DEFAULT_ZOO)
+    row = evaluate_model(
+        "pointnet2_ssg", num_points=128, iters=2, train_iters=1,
+        model_kwargs={"sa_npoints": (32, 16, 8), "_note": "tiny"},
+    )
+    assert row["device_peak_mb"] > 0
+    assert row["config_note"] == "tiny"
+    assert row["vs_reference"] > 0
