@@ -276,7 +276,11 @@ def train(
             )
 
         t0 = time.time()
-        tr_loss, tr_acc, nb = 0.0, 0.0, 0
+        # Metrics stay ON DEVICE during the epoch and are fetched once at the
+        # end: a per-step float() forces a host round trip (~50 ms on the
+        # relay — 4x the 12.8 ms SSG step) and serializes dispatch; deferring
+        # the fetch lets steps pipeline.
+        step_metrics = []
         for batch in train_ds.batches(
             tcfg.batch_size, shuffle=True, seed=tcfg.seed, epoch=epoch
         ):
@@ -284,11 +288,14 @@ def train(
             state, m = train_step(
                 state, batch, jnp.float32(lr), class_weights, rng
             )
-            tr_loss += float(m["loss"])
-            tr_acc += float(m["acc"])
-            nb += 1
-        tr_loss /= max(nb, 1)
-        tr_acc /= max(nb, 1)
+            step_metrics.append(m)
+        nb = len(step_metrics)
+        if nb:
+            fetched = jax.device_get(step_metrics)
+            tr_loss = float(np.mean([f["loss"] for f in fetched]))
+            tr_acc = float(np.mean([f["acc"] for f in fetched]))
+        else:
+            tr_loss = tr_acc = 0.0
 
         row = {
             "epoch": epoch,
@@ -299,8 +306,7 @@ def train(
         }
 
         if val_ds is not None and len(val_ds) > 0:
-            cm_total = np.zeros((mcfg.num_classes, mcfg.num_classes))
-            val_loss, vb = 0.0, 0
+            cms, losses = [], []  # device-side; fetched once after the loop
             for batch in val_ds.batches(
                 tcfg.batch_size, shuffle=False, drop_last=False
             ):
@@ -308,9 +314,14 @@ def train(
                 cm, loss = eval_step(
                     state.params, state.batch_stats, batch, class_weights
                 )
-                cm_total += np.asarray(cm)
-                val_loss += float(loss)
-                vb += 1
+                cms.append(cm)
+                losses.append(loss)
+            vb = len(losses)
+            cms, losses = jax.device_get((cms, losses))
+            cm_total = np.sum(np.asarray(cms), axis=0) if vb else np.zeros(
+                (mcfg.num_classes, mcfg.num_classes)
+            )
+            val_loss = float(np.sum(losses)) if vb else 0.0
             mets = M.metrics_from_confusion(cm_total)
             val_acc = mets["OA"]
             row.update(
