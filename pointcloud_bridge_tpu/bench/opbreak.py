@@ -130,7 +130,7 @@ def _components(B: int = 4, N: int = 4096):
 
     # --- encoder-level modules ------------------------------------------
     yield (
-        "bri_enc (BSE N=4096,k=16)",
+        "bri_enc (BSE N=4096,k=32)",
         module(BridgeStructureEncoding(3, 32, 4), xyz), (xyz,),
     )
 

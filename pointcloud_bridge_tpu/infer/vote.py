@@ -39,6 +39,7 @@ def whole_scene_vote_predict(
     feature_mode: str = "xyz_rgb",
     normalize_scene: bool = False,
     seed: int = 0,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Predict labels for every point of one scene.
 
@@ -46,6 +47,10 @@ def whole_scene_vote_predict(
       points6: [N, 6] xyzrgb scene; labels: [N]; labelweights: [C] vote weights.
       feature_mode: 'xyz_rgb' feeds (xyz=cols 0:3 of block, feats=rgb);
         'nine' feeds the full 9-channel block as features (Partsize models).
+      mesh: optional jax.sharding.Mesh with a "data" axis — the block batch
+        is sharded over it (pure data parallelism: params replicated, blocks
+        split across devices; batch_size is rounded up to a multiple of the
+        axis size). Predictions are identical to the single-device path.
       normalize_scene: apply the BriPCDMulti whole-scene normalization
         (centroid-center + divide by max radius) to the coordinates before
         gridding — REQUIRED for models trained on Highway-style blocks
@@ -62,10 +67,27 @@ def whole_scene_vote_predict(
         points6[:, :3] = normalize_points(points6[:, :3].astype(np.float64))
     vote_pool = np.zeros((n, num_classes), np.float64)
 
-    @jax.jit
-    def forward(xyz, feats):
-        logits = model.apply(variables, xyz, feats, train=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.shape["data"]
+        batch_size = ((batch_size + ndev - 1) // ndev) * ndev
+        data_sh = NamedSharding(mesh, P("data"))
+        repl_sh = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, repl_sh)
+
+        @jax.jit
+        def forward(xyz, feats):
+            xyz = jax.lax.with_sharding_constraint(xyz, data_sh)
+            feats = jax.lax.with_sharding_constraint(feats, data_sh)
+            logits = model.apply(variables, xyz, feats, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+
+        @jax.jit
+        def forward(xyz, feats):
+            logits = model.apply(variables, xyz, feats, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     for vote in range(num_votes):
         data, _, weights, idxs = whole_scene_grid_blocks(

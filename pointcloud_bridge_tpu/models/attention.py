@@ -69,7 +69,10 @@ class BridgeStructureEncoding(nn.Module):
             abs_enc.append(jnp.cos(grid_xyz * f))
         abs_enc = jnp.concatenate(abs_enc, axis=-1)  # [B, N, 6F]
 
-        rel_pos, _ = knn_relative_positions(xyz, k)  # [B, N, k, 3]
+        # recall 0.90: the neighbors only feed permutation-invariant
+        # statistics and a max-pooled MLP; the cheaper aggregation buffer
+        # halves the kNN cost (see ops/grouping.py::knn docstring).
+        rel_pos, _ = knn_relative_positions(xyz, k, recall_target=0.90)
         struct = local_structure_features(rel_pos)  # [B, N, 13]
 
         # The reference concatenates [abs_enc | rel_pos | struct] per neighbor

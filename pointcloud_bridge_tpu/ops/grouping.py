@@ -45,6 +45,7 @@ def query_ball_point(
     xyz: jax.Array,
     new_xyz: jax.Array,
     approx: bool | None = None,
+    recall_target: float = 0.90,
 ) -> jax.Array:
     """Fixed-radius neighborhood query.
 
@@ -53,6 +54,10 @@ def query_ball_point(
       nsample: neighbors per ball (static).
       xyz: all points [B, N, 3].
       new_xyz: query centers [B, S, 3].
+      recall_target: approx top-k recall (TPU only). The ball is an UNORDERED
+        in-radius set whose misses are padded anyway, so a lower buffer
+        target (0.90) trades a ~2% slot difference for ~2x cheaper
+        aggregation; pass 1.0-ish (0.95+) for stricter parity runs.
     Returns:
       [B, S, nsample] int32 indices into N. Misses are padded with the first
       hit; if a ball is empty every slot holds N (clamped by index_points).
@@ -72,7 +77,9 @@ def query_ball_point(
     if approx is None:
         approx = _approx_default()
     if approx and k_eff < n:
-        keys_f, _ = lax.approx_max_k(key.astype(jnp.float32), k_eff)
+        keys_f, _ = lax.approx_max_k(
+            key.astype(jnp.float32), k_eff, recall_target=recall_target
+        )
         topk_keys = keys_f.astype(jnp.int32)  # keys <= N < 2^24: exact in f32
     else:
         topk_keys, _ = lax.top_k(key, k_eff)
@@ -90,17 +97,23 @@ def knn(
     query: Optional[jax.Array] = None,
     k: int = 20,
     approx: bool | None = None,
+    recall_target: float = 0.95,
 ) -> jax.Array:
     """k nearest neighbors by squared Euclidean distance (self included).
 
     Args:
       xyz: [B, N, C] reference points.
       query: [B, S, C] query points; defaults to xyz.
-      approx: use the TPU hardware top-k (recall ~0.95); defaults on for TPU.
+      approx: use the TPU hardware top-k; defaults on for TPU.
+      recall_target: expected recall of the approx top-k set. Controls the
+        hardware partial-reduce buffer (L) that the final aggregation must
+        sort: on v5e at N=4096, k=32, dropping 0.95 -> 0.90 halves L and cuts
+        the aggregation from 3.1 ms to 0.7 ms. Callers that only consume
+        neighborhood STATISTICS (e.g. BridgeStructureEncoding) pass 0.90.
     Returns:
       [B, S, k] int32 indices into N, nearest first.
     """
-    return knn_with_distance(xyz, query, k, approx)[1]
+    return knn_with_distance(xyz, query, k, approx, recall_target)[1]
 
 
 def knn_with_distance(
@@ -108,6 +121,7 @@ def knn_with_distance(
     query: Optional[jax.Array] = None,
     k: int = 20,
     approx: bool | None = None,
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like knn() but also returns the squared distances [B, S, k]."""
     if query is None:
@@ -116,7 +130,7 @@ def knn_with_distance(
         approx = _approx_default()
     d = square_distance(query, xyz)
     if approx and k < xyz.shape[1]:
-        neg, idx = lax.approx_max_k(-d, k)
+        neg, idx = lax.approx_max_k(-d, k, recall_target=recall_target)
     else:
         neg, idx = lax.top_k(-d, k)
     return (-neg), idx.astype(jnp.int32)

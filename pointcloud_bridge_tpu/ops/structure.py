@@ -181,9 +181,9 @@ def estimate_normals(xyz: jax.Array, k: int = 20) -> jax.Array:
 
 
 def knn_relative_positions(
-    xyz: jax.Array, k: int
+    xyz: jax.Array, k: int, recall_target: float = 0.95
 ) -> Tuple[jax.Array, jax.Array]:
     """k-NN then center-relative positions. Returns (rel_pos [B,N,k,3], idx)."""
-    idx = knn(xyz, k=k)
+    idx = knn(xyz, k=k, recall_target=recall_target)
     neighbors = index_points(xyz, idx)
     return neighbors - xyz[:, :, None, :], idx

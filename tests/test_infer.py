@@ -112,3 +112,24 @@ def test_whole_scene_vote_normalized_contract(trained):
     )
     assert (res["vote_pool"].sum(axis=1) > 0).all()
     assert res["metrics"]["OA"] > 0.55
+
+
+def test_whole_scene_vote_sharded_matches_single_device(trained):
+    """Mesh-sharded vote inference (blocks axis over the 8-device CPU mesh)
+    must produce identical predictions to the single-device path."""
+    from pointcloud_bridge_tpu.parallel import make_mesh
+
+    model, variables, (xyz, rgb, labels), _ = trained
+    pts6 = np.concatenate([xyz, rgb], axis=1)
+    lw = scene_labelweights([labels], 5)
+    kw = dict(
+        num_classes=5, block_points=256, block_size=6.0, stride=3.0,
+        num_votes=2, batch_size=8,
+    )
+    single = whole_scene_vote_predict(model, variables, pts6, labels, lw, **kw)
+    mesh = make_mesh(8)
+    sharded = whole_scene_vote_predict(
+        model, variables, pts6, labels, lw, mesh=mesh, **kw
+    )
+    np.testing.assert_array_equal(sharded["pred"], single["pred"])
+    np.testing.assert_allclose(sharded["vote_pool"], single["vote_pool"])

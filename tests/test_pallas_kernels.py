@@ -24,3 +24,72 @@ def test_fps_pallas_start_idx_array(rng):
     want = np.asarray(_fps_jnp(xyz, 16, starts))
     got = np.asarray(fps_pallas(xyz, 16, starts, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# gather3 kernel (two-level one-hot neighbor gather)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n,s,k", [(4096, 4096, 32), (512, 512, 32), (300, 200, 16), (128, 128, 8)]
+)
+def test_gather3_pallas_matches_index_points(rng, n, s, k):
+    from pointcloud_bridge_tpu.ops import index_points
+    from pointcloud_bridge_tpu.ops.pallas_kernels.gather3 import gather3_pallas
+
+    xyz = jnp.asarray(rng.uniform(size=(2, n, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (2, s, k)).astype(np.int32))
+    want = np.asarray(index_points(xyz, idx))
+    got = np.asarray(gather3_pallas(xyz, idx, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather3_custom_vjp_matches_gather_grad(rng):
+    """The scatter-add backward must equal take_along_axis's transpose."""
+    import jax
+
+    from pointcloud_bridge_tpu.ops.core import _gather3_bwd, _gather3_fwd
+
+    xyz = jnp.asarray(rng.uniform(size=(2, 64, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, (2, 32, 4)).astype(np.int32))
+
+    def ref(x):
+        return jnp.sum(jnp.sin(jax.vmap(lambda p, i: p[i])(x, idx)))
+
+    g_ref = np.asarray(jax.grad(ref)(xyz))
+    # drive the custom bwd directly with the same cotangent
+    out = jax.vmap(lambda p, i: p[i])(xyz, idx)
+    cot = jnp.cos(out)  # d/dx sum(sin(gather)) = cos(gather) scattered back
+    dx, didx = _gather3_bwd((idx, xyz), cot)
+    np.testing.assert_allclose(np.asarray(dx), g_ref, rtol=1e-6)
+    assert didx is None
+
+
+# ---------------------------------------------------------------------------
+# ON-DEVICE exactness (VERDICT #10): executable form of the PARITY claim that
+# the Pallas kernels are bit-identical on real TPU hardware. Skipped on CPU.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_fps_pallas_bit_identical_on_tpu(rng):
+    xyz = jnp.asarray(rng.uniform(size=(2, 1024, 3)).astype(np.float32))
+    want = np.asarray(_fps_jnp(xyz, 256))
+    got = np.asarray(fps_pallas(xyz, 256))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_gather3_pallas_bit_identical_on_tpu(rng):
+    from pointcloud_bridge_tpu.ops.pallas_kernels.gather3 import gather3_pallas
+
+    xyz = jnp.asarray(rng.uniform(size=(2, 4096, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 4096, (2, 4096, 32)).astype(np.int32))
+    got = np.asarray(gather3_pallas(xyz, idx))
+    want = np.asarray(jax.vmap(lambda p, i: p[i])(xyz, idx))
+    np.testing.assert_array_equal(got, want)
