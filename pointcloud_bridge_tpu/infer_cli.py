@@ -31,6 +31,8 @@ def main(argv=None) -> None:
     ap.add_argument("--block-size", type=float, default=1.0)
     ap.add_argument("--stride", type=float, default=0.5)
     ap.add_argument("--export-las", action="store_true")
+    ap.add_argument("--save-subplots", action="store_true",
+                    help="export each figure panel as its own PNG/PDF")
     ap.add_argument("--normalize-scene", action="store_true",
                     help="whole-scene normalization (Highway training contract)")
     args = ap.parse_args(argv)
@@ -87,7 +89,13 @@ def main(argv=None) -> None:
         )
         save_metrics_csv(res, args.out_dir)
         try:
-            save_inference_figures(res, args.out_dir)
+            save_inference_figures(
+                res, args.out_dir, save_subplots=args.save_subplots
+            )
+            if res.get("per_file"):
+                from .infer.figures import file_comparison_charts
+
+                file_comparison_charts(res["per_file"], args.out_dir)
         except Exception as e:
             print(f"figure generation failed: {e}")
         g = res["global"]

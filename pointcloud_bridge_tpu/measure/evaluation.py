@@ -157,3 +157,125 @@ def regression_analysis(
         fig.savefig(out_path, dpi=200)
         plt.close(fig)
     return stats
+
+
+def _relative_error_pct(true_v: np.ndarray, pred_v: np.ndarray) -> np.ndarray:
+    true_v = np.asarray(true_v, float)
+    pred_v = np.asarray(pred_v, float)
+    return np.abs(pred_v - true_v) / np.where(true_v != 0, true_v, 1.0) * 100
+
+
+def _records_errors(records: Sequence[Dict], key: str, dimension: str):
+    """Group relative errors (%) by `key` over measurement records
+    ({'case', 'component', 'true_<dim>', 'pred_<dim>'})."""
+    groups: Dict[str, List[float]] = {}
+    tk, pk = f"true_{dimension}", f"pred_{dimension}"
+    for r in records:
+        if tk not in r or pk not in r:
+            continue
+        err = float(_relative_error_pct(np.array([r[tk]]), np.array([r[pk]]))[0])
+        groups.setdefault(str(r.get(key, "?")), []).append(err)
+    return groups
+
+
+def plot_component_relative_errors(
+    records1: Sequence[Dict],
+    records2: Sequence[Dict],
+    dimension: str = "length",
+    save_path: Optional[str] = None,
+    labels: Sequence[str] = ("Dataset 1", "Dataset 2"),
+):
+    """Per-component mean relative-error bars for two result sets, with
+    dashed per-dataset mean lines (evaluation.py:371-467)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g1 = _records_errors(records1, "component", dimension)
+    g2 = _records_errors(records2, "component", dimension)
+    components = sorted(set(g1) | set(g2))
+    e1 = [float(np.mean(g1.get(c, [np.nan]))) for c in components]
+    e2 = [float(np.mean(g2.get(c, [np.nan]))) for c in components]
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.grid(True, linestyle="-.", linewidth=0.5, color="gray", alpha=0.5)
+    x = np.arange(len(components))
+    width = 0.35
+    b1 = ax.bar(x - width / 2, e1, width, label=labels[0], color="#8dd3c7",
+                edgecolor="black", linewidth=0.75)
+    b2 = ax.bar(x + width / 2, e2, width, label=labels[1], color="#bebada",
+                edgecolor="black", linewidth=0.75)
+    ax.bar_label(b1, fmt="%.1f", fontsize=9)
+    ax.bar_label(b2, fmt="%.1f", fontsize=9)
+    ax.axhline(np.nanmean(e1), color="#5bb3a7", linestyle="--", linewidth=1.5)
+    ax.axhline(np.nanmean(e2), color="#9281c9", linestyle="--", linewidth=1.5)
+    ax.set_xticks(x, components)
+    ax.set_ylabel("Relative Error (%)")
+    ax.set_title(f"{dimension.capitalize()} Errors by Component")
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=300, bbox_inches="tight")
+        fig.savefig(os.path.splitext(save_path)[0] + ".pdf", format="pdf",
+                    bbox_inches="tight")
+    return fig
+
+
+def plot_case_errors(
+    records1: Sequence[Dict],
+    records2: Sequence[Dict],
+    dimension: str = "length",
+    save_path: Optional[str] = None,
+    labels: Sequence[str] = ("Dataset 1", "Dataset 2"),
+):
+    """Per-case relative-error boxplots for two result sets side by side
+    with a dataset separator (evaluation.py:470-556)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g1 = _records_errors(records1, "case", dimension)
+    g2 = _records_errors(records2, "case", dimension)
+    cases1, cases2 = sorted(g1), sorted(g2)
+    data1 = [g1[c] for c in cases1]
+    data2 = [g2[c] for c in cases2]
+
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.grid(True, linestyle="-.", linewidth=0.5, color="gray", alpha=0.5)
+    positions = np.arange(1, len(cases1) + len(cases2) + 1)
+    if data1:
+        ax.boxplot(
+            data1, positions=positions[: len(cases1)], patch_artist=True,
+            boxprops=dict(facecolor="lightblue", color="blue"),
+            medianprops=dict(color="blue"), whiskerprops=dict(color="blue"),
+            capprops=dict(color="blue"),
+            flierprops=dict(color="blue", markeredgecolor="blue"),
+        )
+    if data2:
+        ax.boxplot(
+            data2, positions=positions[len(cases1):], patch_artist=True,
+            boxprops=dict(facecolor="lightgreen", color="green"),
+            medianprops=dict(color="green"), whiskerprops=dict(color="green"),
+            capprops=dict(color="green"),
+            flierprops=dict(color="green", markeredgecolor="green"),
+        )
+    ax.set_xticks(positions)
+    ax.set_xticklabels(cases1 + cases2)
+    ax.set_ylabel("Relative Error (%)")
+    ax.set_xlabel("Case")
+    ax.set_title(f"{dimension.capitalize()} Errors by Case")
+    if cases1 and cases2:
+        ax.axvline(x=len(cases1) + 0.5, color="gray", linestyle="--", alpha=0.5)
+    ax.plot([], [], marker="s", markerfacecolor="lightblue", color="black",
+            linestyle="", markersize=10, label=labels[0])
+    ax.plot([], [], marker="s", markerfacecolor="lightgreen", color="black",
+            linestyle="", markersize=10, label=labels[1])
+    ax.legend(loc="upper left", frameon=True, edgecolor="black")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=300, bbox_inches="tight")
+        fig.savefig(os.path.splitext(save_path)[0] + ".pdf", format="pdf",
+                    bbox_inches="tight")
+    return fig

@@ -34,16 +34,54 @@ def grid_search(
     cases: Sequence[Tuple[str, np.ndarray, np.ndarray]],
     grid: Dict[str, Sequence],
     processes: int = 0,
+    csv_path: str | None = None,
+    chunk_size: int = 0,
 ) -> List[Dict]:
     """Evaluate every hyperparameter combination; returns results sorted by
-    mean relative error (best first)."""
-    combos = parameter_grid(grid)
-    tasks = [(list(cases), hp) for hp in combos]
-    if processes and processes > 1:
-        import multiprocessing as mp
+    mean relative error (best first).
 
-        with mp.Pool(processes) as pool:
-            results = pool.map(_eval_one, tasks)
-    else:
-        results = [_eval_one(t) for t in tasks]
+    Long-sweep workflow (optimize_parameter.py:286-360): pass `csv_path` (+
+    optional `chunk_size`) to evaluate the grid in chunks and APPEND each
+    chunk's rows to the CSV as it completes — a crash loses at most one
+    chunk, and re-running the same sweep resumes by skipping combinations
+    already present in the CSV.
+    """
+    import csv
+    import json
+    import os
+
+    combos = parameter_grid(grid)
+
+    done: set = set()
+    if csv_path and os.path.exists(csv_path):
+        with open(csv_path, newline="") as f:
+            for row in csv.DictReader(f):
+                done.add(row["params"])
+    todo = [hp for hp in combos if json.dumps(hp, sort_keys=True) not in done]
+
+    def run_chunk(chunk):
+        tasks = [(list(cases), hp) for hp in chunk]
+        if processes and processes > 1:
+            import multiprocessing as mp
+
+            with mp.Pool(processes) as pool:
+                return pool.map(_eval_one, tasks)
+        return [_eval_one(t) for t in tasks]
+
+    results: List[Dict] = []
+    step = chunk_size if chunk_size > 0 else max(1, len(todo))
+    for s in range(0, len(todo), step):
+        chunk_results = run_chunk(todo[s : s + step])
+        results.extend(chunk_results)
+        if csv_path:
+            new_file = not os.path.exists(csv_path)
+            with open(csv_path, "a", newline="") as f:
+                w = csv.writer(f)
+                if new_file:
+                    w.writerow(["params", "mean_error"])
+                for r in chunk_results:
+                    w.writerow(
+                        [json.dumps(r["params"], sort_keys=True),
+                         r["mean_error"]]
+                    )
     return sorted(results, key=lambda r: r["mean_error"])
