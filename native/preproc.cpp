@@ -133,4 +133,29 @@ void label_histogram(const int32_t* labels, int64_t n, int32_t num_classes,
   }
 }
 
+// Decode raw LAS point records in one pass: int32 xyz -> scaled float64,
+// optional u16 rgb triplet, classification byte (masked), u16 intensity.
+// Replaces four strided numpy passes over the record buffer (data/lasio.py).
+void las_decode(const uint8_t* body, int64_t n, int32_t record_len,
+                int32_t rgb_off, int32_t cls_off, int32_t cls_mask,
+                const double* scale, const double* offset, double* xyz_out,
+                uint16_t* rgb_out, uint8_t* cls_out, uint16_t* int_out) {
+  const double sx = scale[0], sy = scale[1], sz = scale[2];
+  const double ox = offset[0], oy = offset[1], oz = offset[2];
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* rec = body + i * record_len;
+    int32_t v[3];
+    std::memcpy(v, rec, 12);
+    xyz_out[3 * i] = v[0] * sx + ox;
+    xyz_out[3 * i + 1] = v[1] * sy + oy;
+    xyz_out[3 * i + 2] = v[2] * sz + oz;
+    uint16_t inten;
+    std::memcpy(&inten, rec + 12, 2);
+    int_out[i] = inten;
+    cls_out[i] = rec[cls_off] & static_cast<uint8_t>(cls_mask);
+    if (rgb_off >= 0) std::memcpy(rgb_out + 3 * i, rec + rgb_off, 6);
+  }
+}
+
 }  // extern "C"
+

@@ -73,8 +73,13 @@ def _init_on_cpu(model, key, xyz, feats):
     return jax.device_put(v, jax.devices()[0])
 
 
-def _chained_forward_time(model, variables, xyz, feats, iters: int) -> float:
-    """Median-free amortized per-forward seconds via K chained iterations."""
+def _chained_forward_time(
+    model, variables, xyz, feats, iters: int, reps: int = 4
+) -> float:
+    """Amortized per-forward seconds via K chained iterations; T_K and T_1
+    are each the MIN over `reps` trials before differencing (the relay adds
+    multi-ms jitter per dispatch — single-trial differencing can even go
+    negative for sub-ms models)."""
 
     def chained(v, x, f, count):
         # UNROLLED (not lax.fori_loop): the Pallas FPS kernel is unsupported
@@ -90,13 +95,15 @@ def _chained_forward_time(model, variables, xyz, feats, iters: int) -> float:
     run = jax.jit(chained, static_argnums=(3,))
     np.asarray(run(variables, xyz, feats, iters))
     np.asarray(run(variables, xyz, feats, 1))
-    t0 = time.perf_counter()
-    np.asarray(run(variables, xyz, feats, iters))
-    tk = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(run(variables, xyz, feats, 1))
-    t1 = time.perf_counter() - t0
-    return max((tk - t1) / (iters - 1), 1e-9)
+    tk = t1 = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(variables, xyz, feats, iters))
+        tk = min(tk, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(run(variables, xyz, feats, 1))
+        t1 = min(t1, time.perf_counter() - t0)
+    return max((tk - t1) / (iters - 1), 1e-6)
 
 
 def evaluate_model(

@@ -79,6 +79,21 @@ def read_las(path: str) -> LasData:
         raw, dtype=np.uint8, count=n_points * record_len, offset=offset_to_points
     ).reshape(n_points, record_len)
 
+    rgb_off = _RGB_OFFSET.get(point_format, -1)
+    cls_off, cls_mask = (15, 0x1F) if point_format <= 5 else (16, 0xFF)
+
+    from . import native
+
+    decoded = native.las_decode(
+        body, record_len, rgb_off, cls_off, cls_mask, scales, offsets
+    )
+    if decoded is not None:  # C++ one-pass fast path
+        xyz, rgb, cls, intensity = decoded
+        return LasData(
+            xyz=xyz, rgb=rgb, classification=cls, intensity=intensity,
+            scales=scales, offsets=offsets,
+        )
+
     def _view(col_off: int, dtype, n_cols: int = 1):
         sub = body[:, col_off : col_off + np.dtype(dtype).itemsize * n_cols]
         return np.ascontiguousarray(sub).view(dtype).reshape(n_points, n_cols)
@@ -86,15 +101,11 @@ def read_las(path: str) -> LasData:
     ixyz = _view(0, np.int32, 3).astype(np.float64)
     xyz = ixyz * scales[None, :] + offsets[None, :]
     intensity = _view(12, np.uint16)[:, 0]
-
-    if point_format <= 5:
-        cls = body[:, 15] & 0x1F  # low 5 bits; high bits are flags
-    else:
-        cls = body[:, 16]  # formats 6+ have a full classification byte
+    cls = body[:, cls_off] & cls_mask
 
     rgb = None
-    if point_format in _RGB_OFFSET:
-        rgb = _view(_RGB_OFFSET[point_format], np.uint16, 3)
+    if rgb_off >= 0:
+        rgb = _view(rgb_off, np.uint16, 3)
 
     return LasData(
         xyz=xyz,

@@ -37,7 +37,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 _SRC
             ):
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
                      "-o", _SO, _SRC],
                     check=True,
                     capture_output=True,
@@ -48,6 +48,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.voxel_first_indices.restype = ctypes.c_int64
             lib.voxel_centroids.restype = ctypes.c_int64
             lib.label_histogram.restype = None
+            lib.las_decode.restype = None
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -171,6 +172,46 @@ def label_histogram(labels: np.ndarray, num_classes: int) -> np.ndarray:
         ctypes.c_int32(num_classes), _ptr(out, ctypes.c_int64),
     )
     return out
+
+
+def las_decode(
+    body: np.ndarray,
+    record_len: int,
+    rgb_off: int,
+    cls_off: int,
+    cls_mask: int,
+    scales: np.ndarray,
+    offsets: np.ndarray,
+):
+    """One-pass decode of raw LAS point records (native/preproc.cpp
+    ::las_decode). Returns (xyz f64 [N,3], rgb u16 [N,3]|None, cls u8 [N],
+    intensity u16 [N]) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    body = np.ascontiguousarray(body, np.uint8)
+    n = body.size // record_len
+    xyz = np.empty((n, 3), np.float64)
+    rgb = np.empty((n, 3), np.uint16) if rgb_off >= 0 else np.empty((1, 3), np.uint16)
+    cls = np.empty(n, np.uint8)
+    inten = np.empty(n, np.uint16)
+    scales = np.ascontiguousarray(scales, np.float64)
+    offsets = np.ascontiguousarray(offsets, np.float64)
+    lib.las_decode(
+        _ptr(body, ctypes.c_uint8),
+        ctypes.c_int64(n),
+        ctypes.c_int32(record_len),
+        ctypes.c_int32(rgb_off),
+        ctypes.c_int32(cls_off),
+        ctypes.c_int32(cls_mask),
+        _ptr(scales, ctypes.c_double),
+        _ptr(offsets, ctypes.c_double),
+        _ptr(xyz, ctypes.c_double),
+        _ptr(rgb, ctypes.c_uint16),
+        _ptr(cls, ctypes.c_uint8),
+        _ptr(inten, ctypes.c_uint16),
+    )
+    return xyz, (rgb if rgb_off >= 0 else None), cls, inten
 
 
 def native_available() -> bool:

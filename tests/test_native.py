@@ -58,3 +58,30 @@ def test_label_histogram(rng):
     labels = rng.integers(0, 5, 100000).astype(np.int32)
     got = native.label_histogram(labels, 5)
     np.testing.assert_array_equal(got, np.bincount(labels, minlength=5))
+
+
+def test_las_decode_native_matches_numpy(tmp_path, rng):
+    """Native one-pass LAS decode must be bit-identical to the numpy strided
+    fallback, including scale/offset application and classification masking."""
+    import pointcloud_bridge_tpu.data.native as N
+    from pointcloud_bridge_tpu.data.lasio import read_las, write_las
+
+    if not N.native_available():
+        pytest.skip("native library unavailable")
+    xyz = rng.uniform(-50, 50, (5000, 3))
+    rgb = rng.uniform(0, 1, (5000, 3))
+    labels = rng.integers(0, 5, 5000).astype(np.uint8)
+    p = str(tmp_path / "t.las")
+    write_las(p, xyz, rgb, labels)
+
+    fast = read_las(p)
+    real = N.las_decode
+    try:
+        N.las_decode = lambda *a, **k: None
+        slow = read_las(p)
+    finally:
+        N.las_decode = real
+    np.testing.assert_array_equal(fast.xyz, slow.xyz)
+    np.testing.assert_array_equal(fast.rgb, slow.rgb)
+    np.testing.assert_array_equal(fast.classification, slow.classification)
+    np.testing.assert_array_equal(fast.intensity, slow.intensity)
