@@ -65,11 +65,48 @@ def txt_to_las(txt_path: str, las_path: str) -> None:
     write_las(las_path, xyz, rgb, labels)
 
 
+def preview_las(las_path: str, out_png: str, max_points: int = 100_000,
+                color_by: str = "label", seed: int = 0) -> str:
+    """Static 3D preview of a LAS file, colored by label or rgb — the
+    headless equivalent of npz2las.py:108-176's Open3D viewer (Open3D is not
+    available in this environment; a saved figure replaces the window)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    las = read_las(las_path)
+    xyz = las.xyz
+    rng = np.random.default_rng(seed)
+    if len(xyz) > max_points:
+        sel = rng.choice(len(xyz), max_points, replace=False)
+        xyz = xyz[sel]
+        cls = las.classification[sel]
+        rgb = None if las.rgb is None else las.rgb[sel]
+    else:
+        cls, rgb = las.classification, las.rgb
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    if color_by == "rgb" and rgb is not None:
+        ax.scatter(xyz[:, 0], xyz[:, 1], xyz[:, 2],
+                   c=rgb.astype(np.float64) / 65535.0, s=0.5)
+    else:
+        ax.scatter(xyz[:, 0], xyz[:, 1], xyz[:, 2], c=cls, s=0.5, cmap="tab10")
+    ax.set_title(f"{las_path} ({len(xyz)} pts shown)")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)
+    return out_png
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="point-cloud format converters")
     ap.add_argument("mode", choices=["las2h5", "h52las", "npz2las", "txt2las"])
     ap.add_argument("src")
     ap.add_argument("dst")
+    ap.add_argument("--preview", metavar="PNG",
+                    help="also save a 3D scatter preview of the produced LAS")
+    ap.add_argument("--preview-color", choices=["label", "rgb"], default="label")
     args = ap.parse_args(argv)
     if args.mode == "las2h5":
         las_to_h5(args.src, args.dst)
@@ -79,6 +116,8 @@ def main(argv=None) -> None:
         npz_blocks_to_las(sorted(glob.glob(args.src)), args.dst)
     elif args.mode == "txt2las":
         txt_to_las(args.src, args.dst)
+    if args.preview and args.dst.endswith(".las"):
+        preview_las(args.dst, args.preview, color_by=args.preview_color)
 
 
 if __name__ == "__main__":

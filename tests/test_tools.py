@@ -88,3 +88,19 @@ def test_downsample_cli(las_scene, tmp_path):
     stats = analyze_point_density(xyz)
     assert stats["n_points"] == len(xyz)
     assert stats["mean_nn_distance"] > 0
+
+
+def test_convert_preview_flag(tmp_path, rng):
+    from pointcloud_bridge_tpu.data.lasio import write_las
+    from pointcloud_bridge_tpu.tools.convert import main, preview_las
+
+    p = str(tmp_path / "s.las")
+    write_las(p, rng.uniform(size=(300, 3)), rng.uniform(size=(300, 3)),
+              rng.integers(0, 5, 300).astype(np.uint8))
+    out = preview_las(p, str(tmp_path / "prev.png"))
+    assert os.path.getsize(out) > 1000
+    # through the CLI with --preview on a conversion
+    main(["las2h5", p, str(tmp_path / "s.h5")])
+    main(["h52las", str(tmp_path / "s.h5"), str(tmp_path / "s2.las"),
+          "--preview", str(tmp_path / "prev2.png")])
+    assert os.path.exists(str(tmp_path / "prev2.png"))
