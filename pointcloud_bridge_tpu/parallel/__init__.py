@@ -4,12 +4,20 @@ The reference is single-GPU; here data parallelism is first-class: a 1-D
 `data` mesh over ICI, batch sharded on axis 0, parameters/optimizer state
 replicated, gradients pmean'd, and BatchNorm statistics synchronized across
 the mesh via axis_name (SURVEY.md §7 hard part #4). Models are small (<8M
-params) so tensor sharding is unnecessary; the same shard_map scaffolding
-accepts extra mesh axes for headroom.
+params) so tensor sharding is unnecessary for parity; `sharding.py` adds
+the GSPMD headroom path: a 2-axis (data, model) mesh with column-parallel
+Dense kernels, expressed purely as sharding annotations (XLA places the
+collectives).
 """
 
 from .mesh import make_mesh, shard_batch, replicate
 from .train_step import make_dp_train_step, make_dp_eval_step
+from .sharding import (
+    make_2d_mesh,
+    make_tp_train_step,
+    param_shardings,
+    state_shardings,
+)
 
 __all__ = [
     "make_mesh",
@@ -17,4 +25,8 @@ __all__ = [
     "replicate",
     "make_dp_train_step",
     "make_dp_eval_step",
+    "make_2d_mesh",
+    "make_tp_train_step",
+    "param_shardings",
+    "state_shardings",
 ]

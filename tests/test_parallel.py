@@ -145,3 +145,62 @@ def test_train_engine_data_parallel(tmp_path):
     assert len(out["history"]) == 2
     assert out["history"][-1]["train_loss"] < out["history"][0]["train_loss"]
     assert out["best_val_acc"] > 0
+
+
+def test_tp_2d_mesh_matches_single_device_step():
+    """GSPMD (data=4, model=2) mesh: big Dense kernels column-sharded, one
+    train step agrees with single-device math (loss to ~1e-5; Adam's
+    sign-like update amplifies last-ulp gradient reduction-order noise in the
+    params, so parameters are compared by update direction)."""
+    import numpy as np
+
+    from pointcloud_bridge_tpu.parallel import make_2d_mesh, make_tp_train_step
+    from pointcloud_bridge_tpu.train.loop import make_train_step
+
+    rng = np.random.default_rng(0)
+    b, n = 8, 256
+    batch = {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+    model = get_model("pointnet2_ssg", num_classes=5, sa_npoints=(64, 32, 8))
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    state0 = create_train_state(model, key, batch, opt)
+
+    p0 = jax.tree.map(np.asarray, state0.params)  # snapshot: the TP step
+    # donates its input state and device_put may alias unmoved leaves
+    ref_step = make_train_step(model, cfg.loss, opt, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    cw = jnp.ones(5)
+    s_ref, m_ref = ref_step(state0, jb, jnp.float32(1e-3), cw, key)
+
+    mesh = make_2d_mesh(4, 2)
+    step, place = make_tp_train_step(model, cfg.loss, opt, mesh)
+    state, sb = place(state0, batch)
+    sharded_kernels = [
+        x for x in jax.tree.leaves(state.params)
+        if x.ndim == 2 and "model" in str(x.sharding.spec)
+    ]
+    assert len(sharded_kernels) >= 5  # column parallelism actually applied
+    s_tp, m_tp = step(state, sb, jnp.float32(1e-3), cw, key)
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]), rtol=1e-4)
+
+    # update directions agree
+    def flat_delta(a, b2):
+        return np.concatenate([
+            (np.asarray(x) - np.asarray(y)).ravel()
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b2))
+        ])
+    d_tp = flat_delta(s_tp.params, p0)
+    d_ref = flat_delta(s_ref.params, p0)
+    cos = float(d_tp @ d_ref / (np.linalg.norm(d_tp) * np.linalg.norm(d_ref)))
+    # Adam's first step is ~lr*sign(grad): last-ulp reduction-order noise in
+    # near-zero gradient entries flips signs, so ~0.97 is the expected band
+    assert cos > 0.95, cos
