@@ -66,6 +66,36 @@ class FeedForward(nn.Module):
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
+def _attention(q, k, v):
+    """Multi-head attention on [B, N, H, D] tensors.
+
+    PCB_FLASH_ATTN=1 opts into the Pallas flash-attention kernel
+    (jax.experimental.pallas.ops.tpu). MEASURED SLOWER than the XLA path on
+    this stack at PTv3 shapes (B=4, N=4096: global d8h2 53.6 vs 23.7 ms;
+    d12h6 159 vs 88 ms) — XLA's attention handles the score matrix fine at
+    these sizes while the kernel's default block sizes don't fit this small
+    batch. Kept as an opt-in for larger-N serving; default is the XLA path.
+    """
+    import os
+
+    if (
+        os.environ.get("PCB_FLASH_ATTN", "0") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            d = q.shape[-1]
+            qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            out = flash_attention(qt, kt, vt, sm_scale=1.0 / (d**0.5))
+            return out.transpose(0, 2, 1, 3)
+        except Exception:
+            pass
+    return jax.nn.dot_product_attention(q, k, v)
+
+
 class PointAttention(nn.Module):
     dim: int
     num_heads: int
@@ -90,10 +120,10 @@ class PointAttention(nn.Module):
             def win(t):
                 return t.reshape(b * nw, w, h, c // h)
 
-            out = jax.nn.dot_product_attention(win(q), win(k), win(v))
+            out = _attention(win(q), win(k), win(v))
             out = out.reshape(b, n, h, c // h)
         else:
-            out = jax.nn.dot_product_attention(q, k, v)
+            out = _attention(q, k, v)
         out = out.reshape(b, n, c)
         out = nn.Dense(c, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
