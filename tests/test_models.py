@@ -94,3 +94,63 @@ def test_jit_forward_and_grad():
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
     assert gnorm > 0.0
+
+
+def test_edgeconv_fast_path_matches_literal(rng, monkeypatch):
+    """The restructured EdgeConv (project-before-gather + BN-affine max/min
+    pooling) must match the literal graph-feature formulation with the SAME
+    parameters, in eval and train modes, including BN stat updates."""
+    import jax
+    from pointcloud_bridge_tpu.models.dgcnn import EdgeConv
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
+    mod = EdgeConv(features=24, k=8)
+
+    monkeypatch.setenv("PCB_EDGECONV_FAST", "0")
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    want_eval = np.asarray(mod.apply(variables, x, train=False))
+    want_train, want_mut = mod.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+
+    monkeypatch.setenv("PCB_EDGECONV_FAST", "1")
+    got_eval = np.asarray(mod.apply(variables, x, train=False))
+    got_train, got_mut = mod.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+
+    np.testing.assert_allclose(got_eval, want_eval, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_train), np.asarray(want_train), rtol=1e-4, atol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        got_mut["batch_stats"],
+        want_mut["batch_stats"],
+    )
+    # param tree identical (checkpoints interchangeable between paths)
+    v_fast = mod.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v_fast) == jax.tree.structure(variables)
+
+
+def test_edgeconv_fast_path_grad_flows(rng, monkeypatch):
+    import jax
+    from pointcloud_bridge_tpu.models.dgcnn import EdgeConv
+
+    monkeypatch.setenv("PCB_EDGECONV_FAST", "1")
+    x = jnp.asarray(rng.normal(size=(1, 32, 8)).astype(np.float32))
+    mod = EdgeConv(features=12, k=4)
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params):
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).sum()), g))
+    assert all(np.isfinite(flat)) and sum(flat) > 0
