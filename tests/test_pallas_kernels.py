@@ -93,3 +93,55 @@ def test_gather3_pallas_bit_identical_on_tpu(rng):
     got = np.asarray(gather3_pallas(xyz, idx))
     want = np.asarray(jax.vmap(lambda p, i: p[i])(xyz, idx))
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# ball-query kernel (fused distance + cumsum-rank selection)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n,s,k,r",
+    [
+        (4096, 1024, 32, 0.2),   # SSG sa1 shape
+        (1024, 256, 32, 0.2),    # sa2
+        (256, 64, 32, 0.4),      # sa3
+        (512, 512, 16, 0.1),
+        (300, 100, 8, 0.15),     # ragged shapes exercise padding
+        (64, 16, 128, 0.3),      # nsample > n: pad-with-first-hit path
+        (128, 8, 4, 0.0001),     # mostly-empty balls -> index N clamp
+    ],
+)
+def test_ballq_pallas_matches_exact_query_ball_point(rng, n, s, k, r):
+    from pointcloud_bridge_tpu.ops.grouping import query_ball_point
+    from pointcloud_bridge_tpu.ops.pallas_kernels.ballq import ball_query_pallas
+
+    xyz = jnp.asarray(rng.uniform(size=(2, n, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(size=(2, s, 3)).astype(np.float32))
+    want = np.asarray(query_ball_point(r, k, xyz, q, approx=False))
+    got = np.asarray(ball_query_pallas(r, k, xyz, q, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ballq_pallas_self_query_includes_self_first(rng):
+    """Querying the cloud against itself: slot 0 must be each point's own
+    index whenever it is its lowest-index in-radius neighbor."""
+    from pointcloud_bridge_tpu.ops.pallas_kernels.ballq import ball_query_pallas
+
+    xyz = jnp.asarray(rng.uniform(size=(1, 64, 3)).astype(np.float32) * 100)
+    got = np.asarray(ball_query_pallas(0.5, 4, xyz, xyz, interpret=True))
+    np.testing.assert_array_equal(got[0, :, 0], np.arange(64))
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_ballq_pallas_bit_identical_on_tpu(rng):
+    from pointcloud_bridge_tpu.ops.grouping import query_ball_point
+    from pointcloud_bridge_tpu.ops.pallas_kernels.ballq import ball_query_pallas
+
+    xyz = jnp.asarray(rng.uniform(size=(2, 4096, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(size=(2, 1024, 3)).astype(np.float32))
+    want = np.asarray(query_ball_point(0.2, 32, xyz, q, approx=False))
+    got = np.asarray(ball_query_pallas(0.2, 32, xyz, q))
+    np.testing.assert_array_equal(got, want)
