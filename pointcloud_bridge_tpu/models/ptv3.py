@@ -103,6 +103,7 @@ class PointAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     window_size: int = 0  # 0 = global attention over the block
+    sp_axis: Optional[str] = None  # mesh axis the N dim is sharded over
 
     @nn.compact
     def __call__(self, x, pos_encoding=None, train: bool = False):
@@ -113,7 +114,15 @@ class PointAttention(nn.Module):
         qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, c // h)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
-        if self.window_size and n % self.window_size == 0:
+        if self.sp_axis:
+            # sequence-parallel: N is a shard of the global point axis; run
+            # global attention as ring attention over the mesh axis
+            from ..parallel.ring import ring_attention
+
+            if self.window_size:
+                raise ValueError("sp_axis requires global attention")
+            out = ring_attention(q, k, v, self.sp_axis)
+        elif self.window_size and n % self.window_size == 0:
             w = self.window_size
             nw = n // w
 
@@ -137,6 +146,7 @@ class PointTransformerBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     window_size: int = 0
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pos_encoding=None, train: bool = False):
@@ -148,6 +158,7 @@ class PointTransformerBlock(nn.Module):
             self.attn_drop,
             self.drop,
             self.window_size,
+            self.sp_axis,
             name="attn",
         )(h, pos_encoding, train)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
@@ -167,8 +178,15 @@ class PointTransformerV3(nn.Module):
     qkv_bias: bool = True
     drop_rate: float = 0.1
     attn_drop_rate: float = 0.1
+    head_drop_rate: float = 0.5  # reference PointTransformerV3.py:226
     window_size: int = 0  # >0 enables serialized windowed attention
     axis_name: Optional[str] = None
+    # sequence-parallel mode (SURVEY §2.9 SP row): the caller shard_maps the
+    # forward with the N axis split over this mesh axis; attention runs as
+    # ring attention (parallel/ring.py) and everything else is pointwise
+    # over N. Set axis_name to the same axis for train-mode BatchNorm so the
+    # head moments span the full point axis.
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -188,6 +206,8 @@ class PointTransformerV3(nn.Module):
             x = x[..., : self.d_in]
 
         order = inv_order = None
+        if self.sp_axis and self.window_size:
+            raise ValueError("sp_axis requires global attention (window=0)")
         if self.window_size:
             # serialize: sort points along the Morton curve so windows are
             # spatially compact (real-PTv3 serialization)
@@ -210,6 +230,7 @@ class PointTransformerV3(nn.Module):
                 self.drop_rate,
                 self.attn_drop_rate,
                 self.window_size,
+                self.sp_axis,
                 name=f"block{i}",
             )(x, pos, train)
 
@@ -220,7 +241,7 @@ class PointTransformerV3(nn.Module):
             axis_name=self.axis_name, name="head_bn",
         )(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(self.head_drop_rate, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, name="head_fc2")(x)
 
         if inv_order is not None:

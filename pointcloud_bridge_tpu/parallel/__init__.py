@@ -7,7 +7,8 @@ the mesh via axis_name (SURVEY.md §7 hard part #4). Models are small (<8M
 params) so tensor sharding is unnecessary for parity; `sharding.py` adds
 the GSPMD headroom path: a 2-axis (data, model) mesh with column-parallel
 Dense kernels, expressed purely as sharding annotations (XLA places the
-collectives).
+collectives). `ring.py`/`sp.py` add sequence parallelism: the N point axis
+sharded over the mesh with PTv3 global attention as ring attention.
 """
 
 from .mesh import make_mesh, shard_batch, replicate
@@ -18,8 +19,13 @@ from .sharding import (
     param_shardings,
     state_shardings,
 )
+from .ring import ring_attention
+from .sp import make_sp_forward, make_sp_train_step
 
 __all__ = [
+    "ring_attention",
+    "make_sp_forward",
+    "make_sp_train_step",
     "make_mesh",
     "shard_batch",
     "replicate",

@@ -1,0 +1,107 @@
+"""Sequence-parallel (SP) execution of PTv3 over the point axis.
+
+SURVEY §2.9 SP/CP row: shard the N point axis of a block across the mesh so
+global attention spans the whole cloud while every device holds only N/P
+points. Attention is ring attention (parallel/ring.py, K/V rotate over ICI);
+every other PTv3 stage — patch embed, LayerNorms, GEGLU FFN, pos-enc, head —
+is pointwise over N and runs on the local shard untouched. Head BatchNorm
+moments span the global point axis via the model's `axis_name` collective.
+
+The model must be built with `sp_axis=axis` (ring attention) and, for
+training, `axis_name=axis` (cross-shard BN). The param tree is IDENTICAL to
+the unsharded model — sp only changes how the same weights are applied — so
+checkpoints move freely between modes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..train.loop import TrainState, _loss_fn_for
+
+
+def make_sp_forward(model, mesh: Mesh, axis: str = "sp"):
+    """jit'd forward with xyz/feats/logits sharded over the N (point) axis.
+
+    `model` must be constructed with sp_axis=`axis`.
+    """
+
+    def per_shard(variables, xyz, feats):
+        return model.apply(variables, xyz, feats, train=False)
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sp_train_step(
+    model, loss_cfg, optimizer, mesh: Mesh, axis: str = "sp", donate: bool = True
+):
+    """SP train step: points/labels sharded over N, params replicated.
+
+    Per-point CE means over the local shard pmean'd across equal-size shards
+    equal the global mean, so grads/loss match single-device math up to float
+    reassociation. Use a pointwise loss (CE); neighborhood losses would need
+    halo exchange. `model` needs sp_axis=`axis` AND axis_name=`axis`.
+    """
+    loss_fn = _loss_fn_for(loss_cfg)
+
+    def per_shard(state: TrainState, batch, lr, class_weights, rng):
+        xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
+        shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def compute_loss(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                xyz,
+                feats,
+                train=True,
+                rngs={"dropout": jax.random.fold_in(shard_rng, state.step)},
+                mutable=["batch_stats"],
+            )
+            loss = loss_fn(logits, labels, xyz, class_weights)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        new_bs = jax.lax.pmean(new_bs, axis)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        acc = jax.lax.pmean(jnp.mean((preds == labels).astype(jnp.float32)), axis)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    batch_spec = {
+        "points": P(None, axis),
+        "colors": P(None, axis),
+        "labels": P(None, axis),
+    }
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -204,3 +204,120 @@ def test_tp_2d_mesh_matches_single_device_step():
     # Adam's first step is ~lr*sign(grad): last-ulp reduction-order noise in
     # near-zero gradient entries flips signs, so ~0.97 is the expected band
     assert cos > 0.95, cos
+
+
+# ---------------------------------------------------------------------------
+# sequence parallelism (SP): ring attention + PTv3 over a sharded point axis
+# ---------------------------------------------------------------------------
+
+
+def test_ring_attention_matches_dot_product_attention():
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pointcloud_bridge_tpu.parallel import make_mesh, ring_attention
+
+    rng = np.random.default_rng(0)
+    b, n, h, d = 2, 128, 2, 16
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32) * 2)
+        for _ in range(3)
+    )
+    mesh = make_mesh(axis="sp")
+    ring = shard_map(
+        lambda q, k, v: ring_attention(q, k, v, "sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+        check_rep=False,
+    )
+    got = np.asarray(jax.jit(ring)(q, k, v))
+    want = np.asarray(jax.nn.dot_product_attention(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_sp_forward_matches_single_device():
+    from pointcloud_bridge_tpu.parallel import make_sp_forward
+
+    rng = np.random.default_rng(1)
+    b, n = 2, 256
+    xyz = rng.uniform(size=(b, n, 3)).astype(np.float32)
+    feats = rng.uniform(size=(b, n, 3)).astype(np.float32)
+
+    kw = dict(num_classes=5, embed_dim=64, depth=2, num_heads=2)
+    ref_model = get_model("ptv3", **kw)
+    variables = ref_model.init(
+        jax.random.PRNGKey(0), xyz[:1], feats[:1], train=False
+    )
+    want = np.asarray(ref_model.apply(variables, xyz, feats, train=False))
+
+    sp_model = get_model("ptv3", sp_axis="sp", **kw)
+    mesh = make_mesh(axis="sp")
+    fwd = make_sp_forward(sp_model, mesh, axis="sp")
+    got = np.asarray(fwd(variables, jnp.asarray(xyz), jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+def test_sp_train_step_matches_single_device():
+    """One SP train step (N sharded over 8 devices, ring attention, BN
+    moments over the global point axis) must agree with single-device math:
+    loss to ~1e-4 and the same parameter-update direction."""
+    from pointcloud_bridge_tpu.parallel import make_mesh, make_sp_train_step
+    from pointcloud_bridge_tpu.train.loop import make_train_step
+
+    rng = np.random.default_rng(2)
+    b, n = 2, 256
+    batch = {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    # drop_rate=0: dropout masks can't match between layouts; BN still
+    # exercises the cross-shard moment collective
+    kw = dict(num_classes=5, embed_dim=64, depth=2, num_heads=2,
+              drop_rate=0.0, attn_drop_rate=0.0, head_drop_rate=0.0)
+
+    ref_model = get_model("ptv3", **kw)
+    state0 = create_train_state(ref_model, key, batch, opt)
+    p0 = jax.tree.map(np.asarray, state0.params)
+    ref_step = make_train_step(ref_model, cfg.loss, opt, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    cw = jnp.ones(5)
+    s_ref, m_ref = ref_step(state0, jb, jnp.float32(1e-3), cw, key)
+
+    sp_model = get_model("ptv3", sp_axis="sp", axis_name="sp", **kw)
+    mesh = make_mesh(axis="sp")
+    sp_step = make_sp_train_step(sp_model, cfg.loss, opt, mesh, axis="sp",
+                                 donate=False)
+    s_sp, m_sp = sp_step(
+        state0, {k: jnp.asarray(batch[k]) for k in ("points", "colors", "labels")},
+        jnp.float32(1e-3), cw, key,
+    )
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=2e-4
+    )
+
+    def flat_delta(a, b2):
+        return np.concatenate([
+            (np.asarray(x) - np.asarray(y)).ravel()
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b2))
+        ])
+
+    d_sp = flat_delta(s_sp.params, p0)
+    d_ref = flat_delta(s_ref.params, p0)
+    cos = float(d_sp @ d_ref / (np.linalg.norm(d_sp) * np.linalg.norm(d_ref)))
+    assert cos > 0.95, cos
+
+    # running BN stats must span the global point axis: compare to reference
+    bs_sp = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(s_sp.batch_stats)])
+    bs_ref = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(s_ref.batch_stats)])
+    np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-3, atol=1e-5)
