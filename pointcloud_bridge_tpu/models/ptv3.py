@@ -45,10 +45,11 @@ def morton_code(xyz: jax.Array, bits: int = 10) -> jax.Array:
 
 class GEGLU(nn.Module):
     dim_out: int
+    dtype: Optional[str] = None  # compute dtype of the Dense matmuls
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, name="proj")(x)
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         a, gate = jnp.split(h, 2, axis=-1)
         return a * nn.gelu(gate)
 
@@ -57,40 +58,62 @@ class FeedForward(nn.Module):
     hidden_dim: int
     dim: int
     dropout: float = 0.0
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = GEGLU(self.hidden_dim, name="geglu")(x)
+        x = GEGLU(self.hidden_dim, self.dtype, name="geglu")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.dim, name="out")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="out")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
 def _attention(q, k, v):
     """Multi-head attention on [B, N, H, D] tensors.
 
-    PCB_FLASH_ATTN=1 opts into the Pallas flash-attention kernel
-    (jax.experimental.pallas.ops.tpu). MEASURED SLOWER than the XLA path on
-    this stack at PTv3 shapes (B=4, N=4096: global d8h2 53.6 vs 23.7 ms;
-    d12h6 159 vs 88 ms) — XLA's attention handles the score matrix fine at
-    these sizes while the kernel's default block sizes don't fit this small
-    batch. Kept as an opt-in for larger-N serving; default is the XLA path.
+    Global attention at N=4096 is HBM-bound on the [B, H, N, N] score matrix
+    (~3 passes x 1.6 GB per layer for the big config) — the XLA lowering
+    materializes it. The Pallas flash-attention kernel with TUNED block
+    sizes (q=512, k_major=1024, k=512; the library defaults are ~2x SLOWER
+    than XLA here) keeps score tiles in VMEM: measured 1.55 vs 6.66 ms/layer
+    at B=4, H=6, N=4096, D=64 on v5e (4.3x). head_dim > 128 must be a
+    multiple of 128, so D=192 (the d8h2 config) is zero-padded to 256 —
+    exact: zero q/k lanes contribute zero score, padded v lanes are sliced
+    off. Default ON for TPU global attention; PCB_FLASH_ATTN=0 restores the
+    XLA path. Model-level on v5e (B=4, N=4096): d8h2 24.9 -> 18.7 ms
+    (874k pts/s), d12h6 90.1 -> 37.7 ms (435k pts/s, 2.4x); argmax parity
+    1.000 / 0.994 vs the XLA path (softmax reassociation only).
     """
     import os
 
+    n = q.shape[1]
     if (
-        os.environ.get("PCB_FLASH_ATTN", "0") == "1"
+        os.environ.get("PCB_FLASH_ATTN", "1") != "0"
         and jax.default_backend() == "tpu"
+        and n % 512 == 0
     ):
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
                 flash_attention,
             )
 
             d = q.shape[-1]
             qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-            out = flash_attention(qt, kt, vt, sm_scale=1.0 / (d**0.5))
-            return out.transpose(0, 2, 1, 3)
+            if d > 128 and d % 128:
+                pad = ((d + 127) // 128) * 128 - d
+                qt, kt, vt = (
+                    jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                    for t in (qt, kt, vt)
+                )
+            bs = BlockSizes(
+                block_q=min(512, n), block_k_major=min(1024, n),
+                block_k=min(512, n), block_b=1,
+            )
+            out = flash_attention(
+                qt, kt, vt, sm_scale=1.0 / (d**0.5), block_sizes=bs
+            )
+            return out.transpose(0, 2, 1, 3)[..., :d]
         except Exception:
             pass
     return jax.nn.dot_product_attention(q, k, v)
@@ -104,6 +127,7 @@ class PointAttention(nn.Module):
     proj_drop: float = 0.0
     window_size: int = 0  # 0 = global attention over the block
     sp_axis: Optional[str] = None  # mesh axis the N dim is sharded over
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pos_encoding=None, train: bool = False):
@@ -111,7 +135,9 @@ class PointAttention(nn.Module):
         h = self.num_heads
         if pos_encoding is not None:
             x = x + pos_encoding
-        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(
+            c * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
         qkv = qkv.reshape(b, n, 3, h, c // h)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
         if self.sp_axis:
@@ -134,7 +160,7 @@ class PointAttention(nn.Module):
         else:
             out = _attention(q, k, v)
         out = out.reshape(b, n, c)
-        out = nn.Dense(c, name="proj")(out)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
 
@@ -147,9 +173,13 @@ class PointTransformerBlock(nn.Module):
     attn_drop: float = 0.0
     window_size: int = 0
     sp_axis: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pos_encoding=None, train: bool = False):
+        # LayerNorms stay f32 (dtype=None inherits the f32 residual stream);
+        # only the wide matmuls run in the compute dtype — mixed-precision
+        # PreLN, numerically stable across depth.
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + PointAttention(
             self.dim,
@@ -159,11 +189,13 @@ class PointTransformerBlock(nn.Module):
             self.drop,
             self.window_size,
             self.sp_axis,
+            self.dtype,
             name="attn",
         )(h, pos_encoding, train)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         x = x + FeedForward(
-            int(self.dim * self.mlp_ratio), self.dim, self.drop, name="mlp"
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, self.dtype,
+            name="mlp",
         )(h, train)
         return x
 
@@ -187,6 +219,16 @@ class PointTransformerV3(nn.Module):
     # over N. Set axis_name to the same axis for train-mode BatchNorm so the
     # head moments span the full point axis.
     sp_axis: Optional[str] = None
+    # Compute dtype for the wide matmuls (qkv/proj/GEGLU/patch embed).
+    # Params and the residual stream stay f32 (LayerNorm/softmax/BN too), so
+    # checkpoints are interchangeable with the f32 model. MEASURED NEGATIVE
+    # on v5e at the big config (bf16 146.9 vs f32 89.7 ms/forward): XLA's
+    # default TPU matmul precision already feeds the MXU a truncated-mantissa
+    # path (a raw f32 [16k,384]x[384,3072] chain measures 271 TFLOP/s, far
+    # above the f32 peak), so explicit bf16 only adds cast traffic between
+    # the f32 residual stream and each matmul. Kept for HBM-constrained
+    # multi-chip serving where halving activation bytes matters.
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -217,9 +259,13 @@ class PointTransformerV3(nn.Module):
             x = jnp.take_along_axis(x, order[..., None], axis=1)
             xyz = jnp.take_along_axis(xyz, order[..., None], axis=1)
 
-        x = nn.Dense(self.embed_dim, name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="patch_norm")(x)
-        pos = nn.Dense(self.embed_dim, name="pos_embed")(xyz)
+        x = nn.Dense(self.embed_dim, dtype=self.compute_dtype,
+                     name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="patch_norm")(
+            x.astype(jnp.float32)
+        )
+        pos = nn.Dense(self.embed_dim, dtype=self.compute_dtype,
+                       name="pos_embed")(xyz)
 
         for i in range(self.depth):
             x = PointTransformerBlock(
@@ -231,6 +277,7 @@ class PointTransformerV3(nn.Module):
                 self.attn_drop_rate,
                 self.window_size,
                 self.sp_axis,
+                self.compute_dtype,
                 name=f"block{i}",
             )(x, pos, train)
 

@@ -9,16 +9,22 @@ which is authoritative for default-backend selection.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("PCB_TEST_BACKEND", "cpu") == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # PCB_TEST_BACKEND=tpu: leave the image's default (axon TPU) backend so
+    # the @skipif(backend != "tpu") hardware-exactness tests execute:
+    #   PCB_TEST_BACKEND=tpu python -m pytest tests/test_pallas_kernels.py
+    import jax  # noqa: F401
 
 import numpy as np
 import pytest

@@ -145,3 +145,29 @@ def test_ballq_pallas_bit_identical_on_tpu(rng):
     want = np.asarray(query_ball_point(0.2, 32, xyz, q, approx=False))
     got = np.asarray(ball_query_pallas(0.2, 32, xyz, q))
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# tuned flash-attention path in PTv3 (models/ptv3.py::_attention)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+@pytest.mark.parametrize("heads,dim", [(6, 384), (2, 384)])  # D=64 and D=192(pad)
+def test_ptv3_flash_attention_matches_xla_on_tpu(rng, monkeypatch, heads, dim):
+    from pointcloud_bridge_tpu.models.ptv3 import _attention
+
+    b, n, d = 2, 1024, dim // heads
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, n, heads, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    monkeypatch.delenv("PCB_FLASH_ATTN", raising=False)
+    got = np.asarray(jax.jit(_attention)(q, k, v))
+    monkeypatch.setenv("PCB_FLASH_ATTN", "0")
+    want = np.asarray(jax.jit(lambda q, k, v: _attention(q, k, v))(q, k, v))
+    # both paths feed the MXU truncated-mantissa f32 passes with different
+    # reassociation; agreement is absolute-error-level (~1e-3 on O(1) values)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
