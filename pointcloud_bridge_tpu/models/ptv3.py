@@ -106,9 +106,14 @@ def _attention(q, k, v):
                     jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, pad)))
                     for t in (qt, kt, vt)
                 )
+            bq, bkm, bk = min(512, n), min(1024, n), min(512, n)
             bs = BlockSizes(
-                block_q=min(512, n), block_k_major=min(1024, n),
-                block_k=min(512, n), block_b=1,
+                block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+                # backward blocks mirror the forward tiling; without them the
+                # VJP raises at transpose time (training would die)
+                block_q_major_dkv=bq, block_k_major_dkv=bkm,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
             )
             out = flash_attention(
                 qt, kt, vt, sm_scale=1.0 / (d**0.5), block_sizes=bs
