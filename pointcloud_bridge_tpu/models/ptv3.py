@@ -91,6 +91,8 @@ def _attention(q, k, v):
         os.environ.get("PCB_FLASH_ATTN", "1") != "0"
         and jax.default_backend() == "tpu"
         and n % 512 == 0
+        and n >= 1024  # windowed attention (w<=512) keeps the XLA path:
+        # small score tiles already fit; kernel grid overhead not re-tuned
     ):
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
