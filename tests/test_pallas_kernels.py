@@ -171,3 +171,73 @@ def test_ptv3_flash_attention_matches_xla_on_tpu(rng, monkeypatch, heads, dim):
     # both paths feed the MXU truncated-mantissa f32 passes with different
     # reassociation; agreement is absolute-error-level (~1e-3 on O(1) values)
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# fused k-NN interpolation kernel (interp3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n,s,d,k",
+    [
+        (1024, 256, 256, 3),   # fp2 shape
+        (4096, 1024, 128, 3),  # fp1 shape (smaller D for CI speed)
+        (300, 100, 37, 4),     # ragged + EnhancedFP k=4
+        (64, 16, 8, 4),
+    ],
+)
+def test_interp_pallas_matches_exact_oracle(rng, n, s, d, k):
+    from pointcloud_bridge_tpu.ops.interpolate import three_nn_interpolate
+    from pointcloud_bridge_tpu.ops.pallas_kernels.interp3 import (
+        interpolate_pallas,
+    )
+
+    dst = jnp.asarray(rng.uniform(size=(2, n, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(size=(2, s, 3)).astype(np.float32))
+    f = jnp.asarray(rng.normal(size=(2, s, d)).astype(np.float32))
+    want = np.asarray(three_nn_interpolate(dst, src, f, k=k, approx=False))
+    got = np.asarray(interpolate_pallas(dst, src, f, k, True))
+    # the oracle's square_distance uses the MXU expansion form while the
+    # kernel computes diff^2 directly: near-tied neighbors can swap (a few
+    # elements per million), so agreement is tolerance- not bit-level
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+def test_interp_pallas_grad_matches_oracle(rng):
+    from pointcloud_bridge_tpu.ops.interpolate import three_nn_interpolate
+    from pointcloud_bridge_tpu.ops.pallas_kernels.interp3 import (
+        interpolate_pallas,
+    )
+
+    dst = jnp.asarray(rng.uniform(size=(2, 128, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(size=(2, 32, 3)).astype(np.float32))
+    f = jnp.asarray(rng.normal(size=(2, 32, 64)).astype(np.float32))
+
+    gp = jax.grad(
+        lambda f: jnp.sum(jnp.sin(interpolate_pallas(dst, src, f, 3, True)))
+    )(f)
+    gr = jax.grad(
+        lambda f: jnp.sum(
+            jnp.sin(three_nn_interpolate(dst, src, f, k=3, approx=False))
+        )
+    )(f)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=1e-3, atol=5e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_interp_pallas_close_to_exact_on_tpu(rng):
+    from pointcloud_bridge_tpu.ops.interpolate import three_nn_interpolate
+    from pointcloud_bridge_tpu.ops.pallas_kernels.interp3 import (
+        interpolate_pallas,
+    )
+
+    dst = jnp.asarray(rng.uniform(size=(2, 4096, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(size=(2, 1024, 3)).astype(np.float32))
+    f = jnp.asarray(rng.normal(size=(2, 1024, 256)).astype(np.float32))
+    want = np.asarray(three_nn_interpolate(dst, src, f, k=3, approx=False))
+    got = np.asarray(interpolate_pallas(dst, src, f, 3))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
