@@ -39,18 +39,19 @@ def farthest_point_sample(
     Returns:
       [B, npoint] int32 indices into N.
     """
-    # The Pallas kernel is ~50x faster than the jnp selection loop on v5e
-    # (VMEM-resident distance vector; measured 0.05 ms vs 2.8 ms per
-    # 4096->1024 problem) but hangs/mis-compiles when placed inside OUTER lax
-    # loops (fori/scan) on the current remote-compile stack. Default
-    # therefore stays jnp (robust everywhere); serving/bench paths opt in via
-    # PCB_FPS_PALLAS=1 or use_pallas=True. Under plain jit (the normal
-    # inference/training pattern) the kernel is verified working.
+    # The Pallas kernel is ~3x faster than the jnp selection loop on v5e
+    # (VMEM-resident distance vector; 0.9 vs 2.8 ms per 4096->1024 problem)
+    # but hangs/mis-compiles when placed inside OUTER lax loops (fori/scan)
+    # on the current remote-compile stack. Every shipped engine path (train
+    # step, eval, block/vote inference, benches) calls models under plain
+    # jit with python-level batching — verified kernel-safe — so the kernel
+    # is DEFAULT ON for TPU (round 2). Embedding the model inside your own
+    # lax.scan/fori_loop requires PCB_FPS_PALLAS=0 (or use_pallas=False).
     if use_pallas is None:
         import os
 
         use_pallas = (
-            os.environ.get("PCB_FPS_PALLAS", "0") == "1"
+            os.environ.get("PCB_FPS_PALLAS", "1") != "0"
             and jax.default_backend() == "tpu"
         )
     if use_pallas:
