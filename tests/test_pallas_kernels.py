@@ -241,3 +241,49 @@ def test_interp_pallas_close_to_exact_on_tpu(rng):
     want = np.asarray(three_nn_interpolate(dst, src, f, k=3, approx=False))
     got = np.asarray(interpolate_pallas(dst, src, f, 3))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# composed hardware check: full train step with the default TPU kernel stack
+# (Pallas FPS + ballq + gather3 + interp3 with its custom VJP)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_ssg_train_step_runs_with_kernel_stack_on_tpu(rng):
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    b, n = 2, 512
+    batch = {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+    model = get_model("pointnet2_ssg", num_classes=5, sa_npoints=(128, 64, 16))
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(model, key, batch, opt)
+    state = jax.device_put(state, jax.devices()[0])
+    step = make_train_step(model, cfg.loss, opt, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = []
+    for _ in range(3):
+        state, m = step(state, jb, jnp.float32(1e-3), jnp.ones(5), key)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses  # it learns on the fixed batch
