@@ -92,14 +92,18 @@ class EdgeConv(nn.Module):
     features: int
     k: int
     axis_name: Optional[str] = None
-    # feature-space graphs only need approximate neighbors; 0.90 halves the
-    # TPU top-k aggregation cost vs 0.95 (recall ~0.96 measured at k=20)
-    recall_target: float = 0.90
+    # 0.95 matches the knn() default so PCB_EDGECONV_FAST toggles a PURE
+    # algebraic restructure (same neighbor graph on both paths — advisor
+    # round-2: bundling a looser 0.90 recall into the flag confounded
+    # accuracy-debugging attribution). Relaxing to 0.90 halves the TPU top-k
+    # aggregation cost; opt in per-model via this knob.
+    recall_target: float = 0.95
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if not _edgeconv_fast_default():
-            g = edge_conv_graph_feature(x, k=self.k)  # [B, N, k, 2C]
+            idx = knn(x, k=self.k, recall_target=self.recall_target)
+            g = edge_conv_graph_feature(x, k=self.k, idx=idx)  # [B, N, k, 2C]
             h = nn.Dense(self.features, use_bias=False, name="conv")(g)
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9,
@@ -138,6 +142,11 @@ class DGCNN(nn.Module):
     num_classes: int = 5
     k: int = 20
     axis_name: Optional[str] = None
+    # explicit model-level relaxation (decoupled from PCB_EDGECONV_FAST so
+    # the fast-path flag is a pure restructure — advisor round-2): graph
+    # kNN at recall 0.90 halves the TPU top-k aggregation cost; set 0.95+
+    # for strict-parity runs.
+    graph_recall: float = 0.90
 
     @nn.compact
     def __call__(
@@ -154,10 +163,11 @@ class DGCNN(nn.Module):
                 axis_name=ax, name=name,
             )
 
-        x1 = EdgeConv(64, k, ax, name="conv1")(xyz, train)
-        x2 = EdgeConv(64, k, ax, name="conv2")(x1, train)
-        x3 = EdgeConv(64, k, ax, name="conv3")(x2, train)
-        x4 = EdgeConv(128, k, ax, name="conv4")(x3, train)
+        rc = self.graph_recall
+        x1 = EdgeConv(64, k, ax, rc, name="conv1")(xyz, train)
+        x2 = EdgeConv(64, k, ax, rc, name="conv2")(x1, train)
+        x3 = EdgeConv(64, k, ax, rc, name="conv3")(x2, train)
+        x4 = EdgeConv(128, k, ax, rc, name="conv4")(x3, train)
 
         local = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 320]
         local_n = nn.leaky_relu(bn("local_bn")(local), negative_slope=0.2)
@@ -184,6 +194,7 @@ class DGCNNGlobal(nn.Module):
     k: int = 64
     axis_name: Optional[str] = None
     dropout_rate: float = 0.5
+    graph_recall: float = 0.90  # see DGCNN.graph_recall
 
     @nn.compact
     def __call__(
@@ -200,10 +211,11 @@ class DGCNNGlobal(nn.Module):
                 axis_name=ax, name=name,
             )
 
-        x1 = EdgeConv(64, k, ax, name="conv1")(xyz, train)
-        x2 = EdgeConv(64, k, ax, name="conv2")(x1, train)
-        x3 = EdgeConv(64, k, ax, name="conv3")(x2, train)
-        x4 = EdgeConv(128, k, ax, name="conv4")(x3, train)
+        rc = self.graph_recall
+        x1 = EdgeConv(64, k, ax, rc, name="conv1")(xyz, train)
+        x2 = EdgeConv(64, k, ax, rc, name="conv2")(x1, train)
+        x3 = EdgeConv(64, k, ax, rc, name="conv3")(x2, train)
+        x4 = EdgeConv(128, k, ax, rc, name="conv4")(x3, train)
         x = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # [B, N, 320]
 
         x = nn.Dense(1024, use_bias=False, name="conv5")(x)

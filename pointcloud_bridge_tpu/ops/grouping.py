@@ -39,6 +39,34 @@ def _approx_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _eager_off_tpu(*arrays) -> bool:
+    """True when we're in EAGER execution with an operand committed to a
+    non-TPU device (e.g. model.init under jax.default_device(cpu) while the
+    default backend is TPU) — a Pallas TPU kernel would fail at dispatch.
+    Under jit the operands are Tracers and placement follows the jit device,
+    so this returns False and the kernel path is used unguarded: compile-time
+    Mosaic/VMEM errors must surface, not be swallowed (advisor round-2 — the
+    old `except Exception: pass` both missed compile-time failures under an
+    outer jit and masked genuine kernel regressions in eager mode)."""
+    for a in arrays:
+        if isinstance(a, jax.core.Tracer):
+            return False
+        if isinstance(a, jax.Array):
+            try:
+                if any(d.platform != "tpu" for d in a.devices()):
+                    return True
+            except Exception:
+                return False
+    return False
+
+
+# VMEM working-set cap for the ballq kernel: live tiles are x [3, N] plus
+# ~3-4 [TQ=64, N] f32 intermediates (d2/mask/rank + shift temp). N=8192 keeps
+# that ~8-10 MB — comfortably inside a ~16 MB VMEM core; beyond it we fall
+# back to the XLA top-k path instead of failing at compile time.
+_BALLQ_N_MAX = 8192
+
+
 def _ballq_pallas_wanted(approx: bool | None, n: int, s: int) -> bool:
     """The fused Pallas ball query (pallas_kernels/ballq.py) is EXACT and
     never materializes the [B, S, N] distance matrix. Measured on v5e vs the
@@ -46,10 +74,12 @@ def _ballq_pallas_wanted(approx: bool | None, n: int, s: int) -> bool:
     than approx_max_k below ~512 query centers (0.011 vs 0.030 ms at
     S=256/N=1024); at S=1024/N=4096 the hardware approx top-k is ~2x
     cheaper, so auto mode keeps it there. PCB_BALLQ_PALLAS=0 disables,
-    =1 forces it everywhere."""
+    =1 forces it (still subject to the VMEM N cap)."""
     import os
 
     if jax.default_backend() != "tpu" or n < 2 or s < 2:
+        return False
+    if n > _BALLQ_N_MAX:
         return False
     flag = os.environ.get("PCB_BALLQ_PALLAS")
     if flag is not None:
@@ -84,13 +114,10 @@ def query_ball_point(
     """
     n = xyz.shape[1]
     s = new_xyz.shape[1]
-    if _ballq_pallas_wanted(approx, n, s):
+    if _ballq_pallas_wanted(approx, n, s) and not _eager_off_tpu(xyz, new_xyz):
         from .pallas_kernels.ballq import ball_query_pallas
 
-        try:
-            return ball_query_pallas(radius, nsample, xyz, new_xyz)
-        except Exception:
-            pass  # e.g. eager execution placed on CPU (model.init)
+        return ball_query_pallas(radius, nsample, xyz, new_xyz)
     sqrdists = square_distance(new_xyz, xyz)  # [B, S, N]
     arange = jnp.arange(n, dtype=jnp.int32)
     within = sqrdists <= radius * radius

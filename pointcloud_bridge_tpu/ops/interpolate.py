@@ -49,16 +49,23 @@ def small_top_k_min(d: jax.Array, k: int):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
-def _pallas_wanted(approx: bool | None, s: int, k: int) -> bool:
+def _pallas_wanted(approx: bool | None, s: int, k: int, d: int) -> bool:
     """The fused Pallas kernel (pallas_kernels/interp3.py) is EXACT (the XLA
     TPU default rides approx_max_k at recall 0.95) and skips all three
     [B, N, S] HBM round-trips: 0.59 -> 0.42 ms at fp1 shapes on v5e, with a
     custom VJP (blend^T @ g, recomputed — nothing [B,N,S]-shaped saved).
     PCB_INTERP_PALLAS=0 disables, =1 forces (even where approx=False asked
-    for the top_k path on CPU — still exact)."""
+    for the top_k path on CPU — still exact, subject to the VMEM cap).
+
+    VMEM cap: the kernel's live set is feats [S, D] + ~3 [TQ=64, S] blend
+    tiles + the [TQ, D] output, all f32; s*(d + 4*64) words <= 4M keeps it
+    under ~16 MB — beyond that, fall back to XLA instead of a compile-time
+    Mosaic failure (advisor round-2)."""
     import os
 
     if k >= s:
+        return False
+    if s * (d + 256) > 4_000_000:
         return False
     flag = os.environ.get("PCB_INTERP_PALLAS")
     if flag is not None:
@@ -87,13 +94,12 @@ def three_nn_interpolate(
     if s == 1:
         n = xyz_dst.shape[1]
         return jnp.broadcast_to(feats_src, (feats_src.shape[0], n, feats_src.shape[2]))
-    if _pallas_wanted(approx, s, k):
+    if _pallas_wanted(approx, s, k, feats_src.shape[-1]):
+        from .grouping import _eager_off_tpu
         from .pallas_kernels.interp3 import interpolate_pallas
 
-        try:
+        if not _eager_off_tpu(xyz_dst, xyz_src, feats_src):
             return interpolate_pallas(xyz_dst, xyz_src, feats_src, k)
-        except Exception:
-            pass  # e.g. eager execution placed on CPU (model.init)
     d = square_distance(xyz_dst, xyz_src)  # [B, N, S]
     if approx is None:
         from .grouping import _approx_default

@@ -23,7 +23,8 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..train.loop import TrainState, _loss_fn_for
+from .. import losses as L
+from ..train.loop import TrainState
 
 
 def make_sp_forward(model, mesh: Mesh, axis: str = "sp"):
@@ -50,12 +51,26 @@ def make_sp_train_step(
 ):
     """SP train step: points/labels sharded over N, params replicated.
 
-    Per-point CE means over the local shard pmean'd across equal-size shards
-    equal the global mean, so grads/loss match single-device math up to float
-    reassociation. Use a pointwise loss (CE); neighborhood losses would need
-    halo exchange. `model` needs sp_axis=`axis` AND axis_name=`axis`.
+    The loss is computed in decomposed form — per-shard (weighted NLL sum,
+    weight sum), psum'd across the axis, divided AFTER — so the global weighted
+    mean is exact even when contiguous N-slices have skewed class mixes (pmean
+    of per-shard weighted means would bias it; advisor round-2). Because the
+    differentiated loss is then the GLOBAL loss on every shard, and psum
+    transposes to psum, each local grad is P * its true additive contribution;
+    pmean cancels the P and sums the contributions (verified numerically on a
+    4-way mesh).
+
+    Only pointwise-decomposable losses are supported: bridge_structure / sol
+    read cross-shard xyz statistics (z-centroids over the full cloud) and
+    would silently compute per-shard priors — we raise instead. `model` needs
+    sp_axis=`axis` AND axis_name=`axis`.
     """
-    loss_fn = _loss_fn_for(loss_cfg)
+    if loss_cfg.name not in ("ce", "weighted_ce"):
+        raise ValueError(
+            f"loss '{loss_cfg.name}' is not decomposable over N-axis shards "
+            "(it reads whole-cloud xyz statistics); SP training supports "
+            "ce/weighted_ce only"
+        )
 
     def per_shard(state: TrainState, batch, lr, class_weights, rng):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
@@ -70,14 +85,22 @@ def make_sp_train_step(
                 rngs={"dropout": jax.random.fold_in(shard_rng, state.step)},
                 mutable=["batch_stats"],
             )
-            loss = loss_fn(logits, labels, xyz, class_weights)
+            cw = class_weights if loss_cfg.use_class_weights else None
+            numer, denom = L.weighted_cross_entropy_sums(
+                logits, labels, cw, loss_cfg.label_smoothing
+            )
+            numer = jax.lax.psum(numer, axis)
+            denom = jax.lax.psum(denom, axis)
+            loss = numer / jnp.maximum(denom, 1e-8)
             return loss, (logits, mutated["batch_stats"])
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
+        # compute_loss returns the GLOBAL loss (psum'd numerator); psum
+        # transposes to psum, so each local grad is P * its true additive
+        # contribution — pmean cancels the P and sums the contributions.
         grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
         new_bs = jax.lax.pmean(new_bs, axis)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)

@@ -1,0 +1,275 @@
+"""Torch-reference checkpoint import: state_dict -> flax variables.
+
+Converts a reference model's ``state_dict`` (numpy arrays or torch tensors)
+into this framework's flax parameter/batch-stats trees, per model. This both
+(a) proves TRUE architecture parity — identical weights must produce identical
+eval-mode logits (tests/test_reference_model_parity.py) — and (b) lets users
+carry trained reference checkpoints straight into the TPU framework.
+
+Layout rules (the whole conversion is these four):
+  - Conv1d/Conv2d(kernel_size=1) weight [O, I, 1(,1)] -> Dense kernel [I, O]
+    (the per-point conv IS a Dense over the channel axis; SURVEY.md §7).
+  - Linear weight [O, I] -> Dense kernel [I, O] (transpose).
+  - BatchNorm{1,2}d: weight/bias -> params scale/bias; running_mean/var ->
+    batch_stats mean/var. (torch momentum 0.1 == flax momentum 0.9; the
+    *state* transfers 1:1.)
+  - LayerNorm: weight/bias -> scale/bias.
+
+Supported models (reference anchors):
+  - pointnet2_ssg  Highway_bridge/models/model.py:12-56
+  - pointnet       Highway_bridge/models/pointnet.py:59-173 (+TNet :10-57)
+  - dgcnn_global   Highway_bridge/models/model.py:372-482
+  - ptv3           Highway_bridge/models/PointTransformerV3.py:173-304
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+Rule = Tuple[str, Tuple[str, ...], str]  # (torch prefix, flax path, kind)
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _assign(tree: Dict[str, Any], path: Sequence[str], leaf: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = leaf
+
+
+def _apply_rules(
+    rules: Iterable[Rule], sd: Dict[str, Any]
+) -> Tuple[Dict, Dict, set]:
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return _np(sd[key])
+
+    for tp, fp, kind in rules:
+        if kind == "conv":  # kernel-size-1 conv == Dense over channels
+            w = take(tp + ".weight")
+            _assign(params, fp + ("kernel",), w.reshape(w.shape[0], w.shape[1]).T)
+            if tp + ".bias" in sd:
+                _assign(params, fp + ("bias",), take(tp + ".bias"))
+        elif kind == "linear":
+            _assign(params, fp + ("kernel",), take(tp + ".weight").T)
+            if tp + ".bias" in sd:
+                _assign(params, fp + ("bias",), take(tp + ".bias"))
+        elif kind == "bn":
+            _assign(params, fp + ("scale",), take(tp + ".weight"))
+            _assign(params, fp + ("bias",), take(tp + ".bias"))
+            _assign(stats, fp + ("mean",), take(tp + ".running_mean"))
+            _assign(stats, fp + ("var",), take(tp + ".running_var"))
+            used.add(tp + ".num_batches_tracked")
+        elif kind == "ln":
+            _assign(params, fp + ("scale",), take(tp + ".weight"))
+            _assign(params, fp + ("bias",), take(tp + ".bias"))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown rule kind {kind}")
+    return params, stats, used
+
+
+# ---------------------------------------------------------------- rule tables
+
+
+def _rules_pointnet2_ssg() -> List[Rule]:
+    r: List[Rule] = []
+    for i in (1, 2, 3):
+        for j in range(3):
+            r.append((f"sa{i}.mlp_convs.{j}", (f"sa{i}", "mlp", f"dense_{j}"), "conv"))
+            r.append((f"sa{i}.mlp_bns.{j}", (f"sa{i}", "mlp", f"bn_{j}"), "bn"))
+    for fp, nl in (("fp3", 2), ("fp2", 2), ("fp1", 3)):
+        for j in range(nl):
+            r.append((f"{fp}.mlp_convs.{j}", (fp, "mlp", f"dense_{j}"), "conv"))
+            r.append((f"{fp}.mlp_bns.{j}", (fp, "mlp", f"bn_{j}"), "bn"))
+    r += [
+        ("conv1", ("head", "dense0"), "conv"),
+        ("bn1", ("head", "bn0"), "bn"),
+        ("conv2", ("head", "dense1"), "conv"),
+    ]
+    return r
+
+
+def _rules_tnet(tprefix: str, fprefix: str) -> List[Rule]:
+    r: List[Rule] = []
+    for nm in ("conv1", "conv2", "conv3"):
+        r.append((f"{tprefix}.{nm}", (fprefix, nm), "conv"))
+    for nm in ("fc1", "fc2", "fc3"):
+        r.append((f"{tprefix}.{nm}", (fprefix, nm), "linear"))
+    for nm in ("bn1", "bn2", "bn3", "bn4", "bn5"):
+        r.append((f"{tprefix}.{nm}", (fprefix, nm), "bn"))
+    return r
+
+
+def _rules_pointnet() -> List[Rule]:
+    r = _rules_tnet("input_transform", "input_transform")
+    r += _rules_tnet("feature_transform_net", "feature_transform")
+    for i in range(1, 6):
+        r.append((f"conv{i}", (f"conv{i}",), "conv"))
+        r.append((f"bn{i}", (f"bn{i}",), "bn"))
+    for i in range(1, 5):
+        r.append((f"seg_conv{i}", (f"seg_conv{i}",), "conv"))
+    for i in range(1, 4):
+        r.append((f"bn_seg{i}", (f"bn_seg{i}",), "bn"))
+    return r
+
+
+def _rules_dgcnn_global() -> List[Rule]:
+    r: List[Rule] = []
+    for i in range(1, 5):  # EdgeConv stages: Sequential(conv, bn, leaky)
+        r.append((f"conv{i}.0", (f"conv{i}", "conv"), "conv"))
+        r.append((f"bn{i}", (f"conv{i}", "bn"), "bn"))
+    r += [
+        ("conv5.0", ("conv5",), "conv"),
+        ("bn5", ("bn5",), "bn"),
+        ("linear1", ("linear1",), "linear"),
+        ("bn6", ("bn6",), "bn"),
+        ("linear2", ("linear2",), "linear"),
+        ("bn7", ("bn7",), "bn"),
+        ("linear3", ("linear3",), "linear"),
+    ]
+    return r
+
+
+def _rules_ptv3(depth: int = 12) -> List[Rule]:
+    r: List[Rule] = [
+        ("patch_embed.proj", ("patch_embed",), "linear"),
+        ("patch_embed.norm", ("patch_norm",), "ln"),
+        ("pos_embed.linear", ("pos_embed",), "linear"),
+        ("norm", ("norm",), "ln"),
+        ("head.0", ("head_fc1",), "linear"),
+        ("head.1", ("head_bn",), "bn"),
+        ("head.4", ("head_fc2",), "linear"),
+    ]
+    for i in range(depth):
+        b = f"blocks.{i}"
+        f = f"block{i}"
+        r += [
+            (f"{b}.norm1", (f, "norm1"), "ln"),
+            (f"{b}.attn.qkv", (f, "attn", "qkv"), "linear"),
+            (f"{b}.attn.proj", (f, "attn", "proj"), "linear"),
+            (f"{b}.norm2", (f, "norm2"), "ln"),
+            (f"{b}.mlp.net.0.proj", (f, "mlp", "geglu", "proj"), "linear"),
+            (f"{b}.mlp.net.2", (f, "mlp", "out"), "linear"),
+        ]
+    return r
+
+
+def _ptv3_depth(sd: Dict[str, Any]) -> int:
+    d = 0
+    while f"blocks.{d}.norm1.weight" in sd:
+        d += 1
+    return d
+
+
+# DGCNN registers each BN both standalone ("bn1") and inside the Sequential
+# ("conv1.1"): the duplicate Sequential aliases are consumed implicitly.
+_DGCNN_ALIASES = tuple(f"conv{i}.1." for i in range(1, 6))
+
+# Dead-code heads the reference constructs but never calls in forward
+# (model.py EnhancedPointNet2 cls_head; PARITY.md documents the delta).
+_IGNORE: Dict[str, Tuple[str, ...]] = {
+    "pointnet2_ssg": (),
+    "pointnet": (),
+    "dgcnn_global": _DGCNN_ALIASES,
+    "ptv3": (),
+}
+
+
+def convert_state_dict(
+    model_name: str, sd: Dict[str, Any], strict: bool = True
+) -> Dict[str, Any]:
+    """torch state_dict -> {'params': ..., 'batch_stats': ...} for
+    `get_model(model_name)`. `strict` raises on any unconsumed torch key
+    (catches silent architecture gaps); known dead-code keys are exempt."""
+    name = {
+        "pointnet2": "pointnet2_ssg",
+        "pointnet_seg": "pointnet",
+        "dgcnn_cls": "dgcnn_global",
+    }.get(model_name, model_name)
+    if name == "pointnet2_ssg":
+        rules = _rules_pointnet2_ssg()
+    elif name == "pointnet":
+        rules = _rules_pointnet()
+    elif name == "dgcnn_global":
+        rules = _rules_dgcnn_global()
+    elif name == "ptv3":
+        rules = _rules_ptv3(_ptv3_depth(sd))
+    else:
+        raise ValueError(
+            f"no torch-import rules for model '{model_name}' "
+            f"(supported: pointnet2_ssg, pointnet, dgcnn_global, ptv3)"
+        )
+    params, stats, used = _apply_rules(rules, sd)
+    if strict:
+        ignore = _IGNORE.get(name, ())
+        leftover = [
+            k
+            for k in sd
+            if k not in used
+            and not k.endswith("num_batches_tracked")
+            and not any(k.startswith(p) for p in ignore)
+        ]
+        if leftover:
+            raise ValueError(
+                f"unconsumed reference keys for '{name}': {sorted(leftover)[:8]}"
+                f"{' ...' if len(leftover) > 8 else ''}"
+            )
+    return {"params": params, "batch_stats": stats}
+
+
+def _flat_paths(tree, prefix=()) -> Dict[Tuple[str, ...], Tuple[int, ...]]:
+    out = {}
+    items = tree.items() if hasattr(tree, "items") else ()
+    for k, v in items:
+        if hasattr(v, "items"):
+            out.update(_flat_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(np.shape(v))
+    return out
+
+
+def validate_variables(converted: Dict[str, Any], reference_vars: Dict[str, Any]):
+    """Assert the converted tree has exactly the leaf paths + shapes of a
+    freshly-initialized model's variables (params + batch_stats)."""
+    for col in ("params", "batch_stats"):
+        got = _flat_paths(converted.get(col, {}))
+        want = _flat_paths(reference_vars.get(col, {}))
+        missing = set(want) - set(got)
+        extra = set(got) - set(want)
+        if missing or extra:
+            raise ValueError(
+                f"{col} tree mismatch: missing={sorted(missing)[:5]} "
+                f"extra={sorted(extra)[:5]}"
+            )
+        for p, shp in want.items():
+            if got[p] != shp:
+                raise ValueError(f"{col} shape mismatch at {p}: {got[p]} vs {shp}")
+
+
+def load_torch_checkpoint(
+    model_name: str, path: str, strict: bool = True
+) -> Dict[str, Any]:
+    """Load a torch .pth checkpoint from the reference training pipeline and
+    convert it. Accepts raw state_dicts and the reference's wrapped formats
+    ({'model_state_dict': ...} — train_MulSca_PN2.py checkpoint saves)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    sd = {k: _np(v) for k, v in obj.items() if hasattr(v, "shape")}
+    return convert_state_dict(model_name, sd, strict=strict)
