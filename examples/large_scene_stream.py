@@ -1,0 +1,90 @@
+"""Large-scene streaming inference demo (VERDICT round-2 #9).
+
+Runs whole-scene K-vote segmentation over a multi-million-point synthetic
+bridge scene on the real TPU and reports END-TO-END points/sec — gridding,
+H2D feed, device forward, and the host vote scatter all included (the vote
+loop double-buffers so the scatter overlaps device compute;
+infer/vote.py). This is the "arbitrarily large scan" capability the
+reference only has at Python-loop speed (Partsize test_sem_seg.py:58-65).
+
+Usage:  python examples/large_scene_stream.py [n_points_millions]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("PCB_FPS_PALLAS", "1")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.infer.vote import whole_scene_vote_predict
+    from pointcloud_bridge_tpu.models import get_model
+
+    n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
+    n_points = int(n_m * 1e6)
+    num_classes, block_points = 5, 4096
+
+    print(f"generating {n_points:,}-point synthetic bridge scene...")
+    xyz, rgb, labels = toy_bridge_scene(n_points, seed=0)
+    points6 = np.concatenate([xyz, rgb], axis=1).astype(np.float32)
+
+    # quick-train on a small scene so the demo's quality numbers mean
+    # something (same recipe as examples/full_pipeline.py)
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.train import train
+
+    txyz, trgb, tlabels = toy_bridge_scene(300_000, seed=1)
+    blocks = make_training_blocks(
+        txyz, trgb, tlabels, num_points=block_points, block_size=6.0,
+        sample_rate=1.0, file_name="toy", seed=0,
+    )
+    tr = BlockDataset.from_blocks(blocks, ["toy"], augment=True)
+    cfg = Config.from_dict({
+        "case": "stream_demo", "num_classes": num_classes, "batch_size": 4,
+        "num_epochs": 4, "learning_rate": 1e-3, "model": "pointnet2_ssg",
+    })
+    print("quick-training on a 300k-point scene (4 epochs)...")
+    res = train(cfg, tr, None, exp_dir="/tmp/stream_demo_exp")
+    model = res["model"]
+    state = res["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # warm-up: compile the batch forward on a small scene first
+    small6 = points6[:200_000]
+    whole_scene_vote_predict(
+        model, variables, small6, labels[:200_000], np.ones(num_classes),
+        num_classes, block_points=block_points, block_size=8.0, stride=6.0,
+        num_votes=1, batch_size=4,
+    )
+
+    t0 = time.time()
+    out = whole_scene_vote_predict(
+        model, variables, points6, labels, np.ones(num_classes), num_classes,
+        block_points=block_points, block_size=8.0, stride=6.0, num_votes=3,
+        batch_size=4,
+    )
+    wall = time.time() - t0
+    covered = int((out["vote_pool"].sum(axis=1) > 0).sum())
+    m = out["metrics"]
+    print(
+        f"scene: {n_points:,} pts | votes: 3 | wall: {wall:.1f} s | "
+        f"end-to-end: {n_points / wall:,.0f} pts/s "
+        f"(x3 votes = {3 * n_points / wall:,.0f} block-pts/s)"
+    )
+    print(
+        f"coverage: {covered / n_points:.1%} | OA {m['OA']:.3f} | "
+        f"mIoU {m['mIoU']:.3f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

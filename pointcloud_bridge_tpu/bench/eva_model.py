@@ -45,13 +45,21 @@ DEFAULT_ZOO: Dict[str, Dict[str, Any]] = {
     "dgcnn_k32": {"_model": "dgcnn_global", "k": 32,
                   "_note": "reference CSV variant (model.py:372-482, k=32)"},
     "pointnet2_ssg": {},
+    "pointnet2_msg": {"_feature_dim": 9,
+                      "_note": "BASELINE north-star model (Partsize MSG); fed "
+                               "its 9-ch S3DIS column contract"},
     "spg": {},
+    "spt": {"_note": "SuperPointTransformer point-level segmenter"},
     "randlanet": {},
     "ptv3": {"embed_dim": 384, "depth": 8, "num_heads": 2,
              "_note": "trained config (train_PTV3.py:123-128)"},
     "ptv3_big": {"_model": "ptv3", "embed_dim": 384, "depth": 12,
                  "num_heads": 6,
                  "_note": "reference benchmark config (eva_model.py:506-513)"},
+    "ptv3_big_bf16": {"_model": "ptv3", "embed_dim": 384, "depth": 12,
+                      "num_heads": 6, "stream_dtype": "bfloat16",
+                      "_note": "bf16 residual stream serving config "
+                               "(argmax ~99.8% vs f32; params f32)"},
     "bristrunet": {},
 }
 
@@ -137,13 +145,14 @@ def evaluate_model(
     model_kwargs = dict(model_kwargs or {})
     registry_name = model_kwargs.pop("_model", name)
     config_note = model_kwargs.pop("_note", None)
+    feature_dim = model_kwargs.pop("_feature_dim", 3)
     model = get_model(registry_name, num_classes=num_classes, **model_kwargs)
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(
         rng.uniform(size=(batch_size, num_points, 3)), jnp.float32
     )
     feats = jnp.asarray(
-        rng.uniform(size=(batch_size, num_points, 3)), jnp.float32
+        rng.uniform(size=(batch_size, num_points, feature_dim)), jnp.float32
     )
     key = jax.random.PRNGKey(0)
     variables = _init_on_cpu(model, key, np.asarray(xyz), np.asarray(feats))

@@ -63,6 +63,10 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     donate: bool = True
+    # async input feed depth: batches converted + device_put on a background
+    # thread while the current step runs (DataLoader-workers equivalent;
+    # train/loop.py::prefetch_to_device). 0/1 = synchronous.
+    prefetch: int = 2
 
 
 @dataclass

@@ -103,10 +103,22 @@ def whole_scene_vote_predict(
         nb = len(data)
         if nb == 0:
             continue
+        # Two-deep pipeline: batch i+1 is dispatched to the device BEFORE
+        # batch i's predictions are fetched, so the host-side vote scatter
+        # (np.add.at) overlaps device compute instead of serializing with it
+        # (jax dispatch is async; only the fetch blocks).
+        pending = None  # (device preds, s, e)
+
+        def scatter(preds_dev, s, e):
+            preds = np.asarray(preds_dev)[: e - s]
+            flat_idx = idxs[s:e].reshape(-1)
+            flat_pred = preds.reshape(-1)
+            flat_w = weights[s:e].reshape(-1)
+            np.add.at(vote_pool, (flat_idx, flat_pred), flat_w)
+
         for s in range(0, nb, batch_size):
             e = min(s + batch_size, nb)
             chunk = data[s:e]
-            pad = 0
             if e - s < batch_size:  # pad to fixed shape for jit
                 pad = batch_size - (e - s)
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
@@ -115,14 +127,12 @@ def whole_scene_vote_predict(
                 feats = jnp.asarray(chunk)
             else:
                 feats = jnp.asarray(chunk[:, :, 3:6])
-            preds = np.asarray(forward(xyz, feats))
-            if pad:
-                preds = preds[: e - s]
-            # scatter weighted votes at original indices
-            flat_idx = idxs[s:e].reshape(-1)
-            flat_pred = preds.reshape(-1)
-            flat_w = weights[s:e].reshape(-1)
-            np.add.at(vote_pool, (flat_idx, flat_pred), flat_w)
+            preds_dev = forward(xyz, feats)
+            if pending is not None:
+                scatter(*pending)
+            pending = (preds_dev, s, e)
+        if pending is not None:
+            scatter(*pending)
 
     pred = vote_pool.argmax(axis=1).astype(np.int32)
     cm = np.asarray(

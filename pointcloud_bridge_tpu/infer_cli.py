@@ -35,12 +35,23 @@ def main(argv=None) -> None:
                     help="export each figure panel as its own PNG/PDF")
     ap.add_argument("--normalize-scene", action="store_true",
                     help="whole-scene normalization (Highway training contract)")
+    ap.add_argument("--from-snapshot", action="store_true",
+                    help="import model code from the experiment's "
+                         "code_snapshot dir (reference inference.py:72-78 "
+                         "reproducibility: results don't drift when the "
+                         "working tree moves on)")
     args = ap.parse_args(argv)
 
     import jax
 
-    from .models import get_model
     from .utils.checkpoint import restore_checkpoint
+
+    if args.from_snapshot:
+        from .utils.logging import load_snapshot_models
+
+        get_model = load_snapshot_models(args.checkpoint)
+    else:
+        from .models import get_model
 
     model = get_model(args.model, num_classes=args.num_classes)
 

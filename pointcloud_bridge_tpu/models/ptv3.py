@@ -196,13 +196,26 @@ class PointTransformerBlock(nn.Module):
     window_size: int = 0
     sp_axis: Optional[str] = None
     dtype: Optional[str] = None
+    # bf16 residual stream (stream_dtype="bfloat16"): the WHOLE inter-block
+    # tensor traffic — residuals, LN I/O, QKV layout transposes — moves at
+    # half the HBM bytes. Distinct from the per-matmul `dtype` cast variant
+    # (measured NEGATIVE round-2: cast traffic around each Dense outweighed
+    # the matmul saving); here there are no casts inside the block at all.
+    # LN statistics use use_fast_variance=False in bf16 (E[(x-mu)^2], not
+    # E[x^2]-mu^2 — the fast form catastrophically cancels in half precision).
+    stream_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pos_encoding=None, train: bool = False):
-        # LayerNorms stay f32 (dtype=None inherits the f32 residual stream);
-        # only the wide matmuls run in the compute dtype — mixed-precision
-        # PreLN, numerically stable across depth.
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        # LayerNorms stay f32 (dtype=None inherits the f32 residual stream)
+        # unless stream_dtype is set; only the wide matmuls run in the
+        # compute dtype — mixed-precision PreLN, stable across depth.
+        sdt = jnp.dtype(self.stream_dtype) if self.stream_dtype else None
+        ln_kw = dict(epsilon=1e-6)
+        if sdt is not None:
+            ln_kw.update(dtype=sdt, use_fast_variance=False)
+        cdt = sdt if sdt is not None else self.dtype
+        h = nn.LayerNorm(**ln_kw, name="norm1")(x)
         x = x + PointAttention(
             self.dim,
             self.num_heads,
@@ -211,12 +224,12 @@ class PointTransformerBlock(nn.Module):
             self.drop,
             self.window_size,
             self.sp_axis,
-            self.dtype,
+            cdt,
             name="attn",
         )(h, pos_encoding, train)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(**ln_kw, name="norm2")(x)
         x = x + FeedForward(
-            int(self.dim * self.mlp_ratio), self.dim, self.drop, self.dtype,
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, cdt,
             name="mlp",
         )(h, train)
         return x
@@ -251,6 +264,14 @@ class PointTransformerV3(nn.Module):
     # the f32 residual stream and each matmul. Kept for HBM-constrained
     # multi-chip serving where halving activation bytes matters.
     compute_dtype: Optional[str] = None
+    # bf16 RESIDUAL STREAM (distinct from compute_dtype's per-matmul casts):
+    # the inter-block activations themselves are bf16 — residual adds, LN
+    # I/O, QKV transposes, attention I/O all move half the HBM bytes with NO
+    # casts inside the blocks. Params stay f32 (checkpoint-compatible);
+    # patch embed + head bracket the stream with one cast each. The
+    # non-attention ~15 ms of ptv3_big is HBM-bound elementwise traffic
+    # (PARITY speed-of-light), which this targets directly.
+    stream_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -289,6 +310,11 @@ class PointTransformerV3(nn.Module):
         pos = nn.Dense(self.embed_dim, dtype=self.compute_dtype,
                        name="pos_embed")(xyz)
 
+        sdt = jnp.dtype(self.stream_dtype) if self.stream_dtype else None
+        if sdt is not None:  # enter the half-precision residual stream
+            x = x.astype(sdt)
+            pos = pos.astype(sdt)
+
         for i in range(self.depth):
             x = PointTransformerBlock(
                 self.embed_dim,
@@ -300,10 +326,11 @@ class PointTransformerV3(nn.Module):
                 self.window_size,
                 self.sp_axis,
                 self.compute_dtype,
+                self.stream_dtype,
                 name=f"block{i}",
             )(x, pos, train)
 
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x.astype(jnp.float32))
         x = nn.Dense(256, name="head_fc1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9,

@@ -67,6 +67,44 @@ def create_train_state(
     )
 
 
+def prefetch_to_device(batch_iter, put: Callable, size: int = 2):
+    """Async double-buffered input feed (SURVEY §2.4; reference comparator:
+    DataLoader(num_workers=6, pin_memory) in train_MulSca_PN2.py:92-106).
+
+    A daemon thread converts + device_puts batch N+1..N+size while step N
+    runs, so host->device transfer (one ~50 ms relay round trip per batch
+    here) overlaps device compute instead of serializing with it. size=2 is
+    classic double buffering; 0/1 disables. Worker exceptions re-raise at the
+    consuming iteration.
+    """
+    if size <= 1:
+        for b in batch_iter:
+            yield put(b)
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for b in batch_iter:
+                q.put(put(b))
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(("__prefetch_error__", e))
+        q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+            raise item[1]
+        yield item
+
+
 def _loss_fn_for(loss_cfg) -> Callable:
     """Returns loss(logits, labels, xyz, class_weights) -> scalar."""
     name = loss_cfg.name
@@ -281,10 +319,13 @@ def train(
         # relay — 4x the 12.8 ms SSG step) and serializes dispatch; deferring
         # the fetch lets steps pipeline.
         step_metrics = []
-        for batch in train_ds.batches(
-            tcfg.batch_size, shuffle=True, seed=tcfg.seed, epoch=epoch
+        for batch in prefetch_to_device(
+            train_ds.batches(
+                tcfg.batch_size, shuffle=True, seed=tcfg.seed, epoch=epoch
+            ),
+            put_batch,
+            tcfg.prefetch,
         ):
-            batch = put_batch(batch)
             state, m = train_step(
                 state, batch, jnp.float32(lr), class_weights, rng
             )
@@ -307,10 +348,11 @@ def train(
 
         if val_ds is not None and len(val_ds) > 0:
             cms, losses = [], []  # device-side; fetched once after the loop
-            for batch in val_ds.batches(
-                tcfg.batch_size, shuffle=False, drop_last=False
+            for batch in prefetch_to_device(
+                val_ds.batches(tcfg.batch_size, shuffle=False, drop_last=False),
+                put_batch,
+                tcfg.prefetch,
             ):
-                batch = put_batch(batch)
                 cm, loss = eval_step(
                     state.params, state.batch_stats, batch, class_weights
                 )

@@ -76,3 +76,32 @@ def snapshot_code(exp_dir: str) -> None:
         shutil.copytree(
             src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
         )
+
+
+def load_snapshot_models(exp_dir: str):
+    """Import the experiment's code snapshot and return ITS `get_model`.
+
+    Reproducibility device from the reference: inference re-imports model
+    code from the experiment snapshot dir (inference.py:72-78) so results
+    are reproducible even after the working tree moves on. The snapshot
+    package is loaded under an alias (one per exp_dir), leaving the
+    installed package untouched.
+    """
+    import importlib
+    import importlib.util
+    import sys
+
+    pkg_dir = os.path.join(exp_dir, "code_snapshot", "pointcloud_bridge_tpu")
+    if not os.path.isdir(pkg_dir):
+        raise FileNotFoundError(f"no code snapshot under {exp_dir}")
+    alias = "pcb_snapshot_" + hex(abs(hash(os.path.abspath(exp_dir))))[2:12]
+    if alias not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            alias,
+            os.path.join(pkg_dir, "__init__.py"),
+            submodule_search_locations=[pkg_dir],
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[alias] = mod
+        spec.loader.exec_module(mod)
+    return importlib.import_module(alias + ".models").get_model

@@ -2,6 +2,7 @@
 dice loss, class maps, debug/smoke tool."""
 
 import os
+import sys
 
 import numpy as np
 import jax
@@ -222,3 +223,21 @@ def test_bristrunet_29ch_variant():
     v = m.init({"params": key, "dropout": key}, xyz, feats, train=False)
     out = m.apply(v, xyz, feats, train=False)
     assert out.shape == (1, 192, 5)
+
+
+def test_load_snapshot_models(tmp_path):
+    """Snapshot the package into an exp dir, then load get_model FROM the
+    snapshot (reference inference.py:72-78 reproducibility device)."""
+    from pointcloud_bridge_tpu.utils.logging import (
+        load_snapshot_models,
+        snapshot_code,
+    )
+
+    exp = str(tmp_path / "exp")
+    os.makedirs(exp)
+    snapshot_code(exp)
+    get_model = load_snapshot_models(exp)
+    m = get_model("pointnet2_ssg", num_classes=5)
+    # the class must come from the snapshot tree, not the installed package
+    mod_file = sys.modules[type(m).__module__].__file__
+    assert str(tmp_path) in mod_file, mod_file

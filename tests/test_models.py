@@ -154,3 +154,55 @@ def test_edgeconv_fast_path_grad_flows(rng, monkeypatch):
     g = jax.grad(loss)(variables["params"])
     flat = jax.tree.leaves(jax.tree.map(lambda a: float(jnp.abs(a).sum()), g))
     assert all(np.isfinite(flat)) and sum(flat) > 0
+
+
+def test_ptv3_bf16_stream_matches_f32(rng):
+    """bf16 residual stream (serving config): same param tree as f32, logits
+    within bf16 tolerance, argmax almost everywhere identical."""
+    import jax.tree_util as jtu
+
+    from pointcloud_bridge_tpu.models import get_model
+
+    xyz = jnp.asarray(rng.uniform(size=(2, 256, 3)).astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(size=(2, 256, 3)).astype(np.float32))
+    kw = dict(num_classes=5, embed_dim=96, depth=3, num_heads=4,
+              drop_rate=0.0, attn_drop_rate=0.0, head_drop_rate=0.0)
+    m32 = get_model("ptv3", **kw)
+    v = m32.init(jax.random.PRNGKey(0), xyz, rgb, train=False)
+    mbf = get_model("ptv3", stream_dtype="bfloat16", **kw)
+    assert jtu.tree_structure(v) == jtu.tree_structure(
+        mbf.init(jax.random.PRNGKey(0), xyz, rgb, train=False)
+    )
+    a = np.asarray(m32.apply(v, xyz, rgb, train=False))
+    b = np.asarray(mbf.apply(v, xyz, rgb, train=False))
+    assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.97
+
+    # train step must run and learn in the bf16 stream too
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch = {
+        "points": np.asarray(xyz),
+        "colors": np.asarray(rgb),
+        "labels": np.asarray(
+            np.random.default_rng(0).integers(0, 5, (2, 256)), np.int32
+        ),
+    }
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(mbf, key, batch, opt)
+    step = make_train_step(mbf, cfg.loss, opt, donate=False)
+    jb = {k: jnp.asarray(v2) for k, v2 in batch.items()}
+    losses = []
+    for _ in range(4):
+        state, m = step(state, jb, jnp.float32(1e-3), jnp.ones(5), key)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses

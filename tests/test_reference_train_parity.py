@@ -1,0 +1,157 @@
+"""Same-data TRAINING parity vs the executed torch reference (SURVEY §7 hard
+part #5, VERDICT round-2 missing #2).
+
+Strong form: both frameworks start from the SAME weights (torch init imported
+through utils/torch_import.py), see the SAME batches in the SAME order, with
+dropout disabled and the FPS start pinned — so per-step losses must track
+each other closely (optimizer: Adam lr 1e-3 + L2-in-grad wd 1e-4; BN
+train-mode batch stats, torch momentum 0.1 == flax 0.9). This executes the
+whole training stack — forward, CE loss, backward, Adam update, BN running
+stats — against the reference, not just the forward.
+
+Init-distribution note (VERDICT missing #4): torch Conv/Linear default init
+is kaiming-uniform (fan_in, a=sqrt(5)); flax Dense is lecun-normal;
+Partsize's weights_init applies xavier-normal (tool_utils.py:5-17). Starting
+from imported torch weights removes that difference here; the from-scratch
+distributional comparison lives in bench/convergence_parity.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_MODELS = "/root/reference/Highway_bridge/models"
+
+
+@pytest.fixture(scope="module")
+def torch():
+    import torch as t
+
+    t.manual_seed(0)
+    return t
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    if not os.path.isdir(REF_MODELS):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, os.path.dirname(REF_MODELS))
+    import importlib
+
+    mod = importlib.import_module("models")
+    for sub in ("pointnet2_utils", "model"):
+        importlib.import_module(f"models.{sub}")
+    yield mod
+    sys.path.pop(0)
+
+
+def _det_fps_torch():
+    import torch as t
+
+    def fps(xyz, npoint):
+        device = xyz.device
+        B, N, C = xyz.shape
+        centroids = t.zeros(B, npoint, dtype=t.long).to(device)
+        distance = t.ones(B, N).to(device) * 1e10
+        farthest = t.zeros(B, dtype=t.long).to(device)
+        batch_indices = t.arange(B, dtype=t.long).to(device)
+        for i in range(npoint):
+            centroids[:, i] = farthest
+            centroid = xyz[batch_indices, farthest, :].view(B, 1, 3)
+            dist = t.sum((xyz - centroid) ** 2, -1)
+            mask = dist < distance
+            distance[mask] = dist[mask]
+            farthest = t.max(distance, -1)[1]
+        return centroids
+
+    return fps
+
+
+def _synthetic_batches(n_steps, b, n, num_classes, seed=0):
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_steps):
+        xyz = rng.uniform(size=(b, n, 3)).astype(np.float32)
+        rgb = rng.uniform(size=(b, n, 3)).astype(np.float32)
+        # learnable structure: label from z-slabs plus a color cue
+        z = xyz[..., 2]
+        labels = np.digitize(z, np.linspace(0, 1, num_classes + 1)[1:-1])
+        labels = labels.astype(np.int64)
+        batches.append((xyz, rgb, labels))
+    return batches
+
+
+def test_pointnet2_train_trajectory_matches_reference(torch, ref_pkg, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.train.loop import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from pointcloud_bridge_tpu.utils.torch_import import convert_state_dict
+
+    utils = sys.modules["models.pointnet2_utils"]
+    monkeypatch.setattr(utils, "farthest_point_sample", _det_fps_torch())
+
+    num_classes, b, n, n_steps = 4, 2, 256, 8
+    lr, wd = 1e-3, 1e-4
+    batches = _synthetic_batches(n_steps, b, n, num_classes)
+
+    # ---- torch side: save the init BEFORE training, then train
+    tm = ref_pkg.model.PointNet2(num_classes=num_classes)
+    tm.sa1.npoint, tm.sa2.npoint, tm.sa3.npoint = 64, 32, 16
+    tm.drop1.p = 0.0
+    sd0 = {k: v.detach().clone().numpy() for k, v in tm.state_dict().items()}
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=lr, weight_decay=wd)
+    torch_losses = []
+    for xyz, rgb, labels in batches:
+        out = tm(torch.tensor(xyz), torch.tensor(rgb))
+        loss = torch.nn.functional.cross_entropy(out, torch.tensor(labels))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    ours = get_model(
+        "pointnet2_ssg", num_classes=num_classes, sa_npoints=(64, 32, 16),
+        dropout_rate=0.0,
+    )
+    variables = convert_state_dict("pointnet2_ssg", sd0, strict=True)
+    optimizer = make_optimizer(wd)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+    )
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    step_fn = make_train_step(ours, cfg.loss, optimizer, donate=False)
+    cw = jnp.ones(num_classes)
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for xyz, rgb, labels in batches:
+        batch = {
+            "points": jnp.asarray(xyz),
+            "colors": jnp.asarray(rgb),
+            "labels": jnp.asarray(labels.astype(np.int32)),
+        }
+        state, m = step_fn(state, batch, jnp.float32(lr), cw, key)
+        our_losses.append(float(m["loss"]))
+
+    torch_losses = np.asarray(torch_losses)
+    our_losses = np.asarray(our_losses)
+    # per-step agreement: identical weights/data/optimizer -> tight tracking
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=0.02, atol=0.02)
+    # both must actually learn (loss decreasing over the window)
+    assert our_losses[-1] < our_losses[0]
+    assert torch_losses[-1] < torch_losses[0]

@@ -82,3 +82,22 @@ def test_checkpoint_restore_roundtrip(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert restored["epoch"] == 1
+
+
+def test_prefetch_to_device_order_and_errors():
+    from pointcloud_bridge_tpu.train.loop import prefetch_to_device
+
+    batches = [{"x": np.full((2,), i)} for i in range(7)]
+    got = list(prefetch_to_device(iter(batches), lambda b: b["x"] + 1, size=3))
+    assert [int(g[0]) for g in got] == [1, 2, 3, 4, 5, 6, 7]
+    # size<=1 falls back to synchronous
+    got = list(prefetch_to_device(iter(batches), lambda b: b["x"], size=0))
+    assert len(got) == 7
+
+    def boom(b):
+        if int(b["x"][0]) == 3:
+            raise RuntimeError("conversion failed")
+        return b["x"]
+
+    with pytest.raises(RuntimeError, match="conversion failed"):
+        list(prefetch_to_device(iter(batches), boom, size=2))
