@@ -69,10 +69,13 @@ class BridgeStructureEncoding(nn.Module):
             abs_enc.append(jnp.cos(grid_xyz * f))
         abs_enc = jnp.concatenate(abs_enc, axis=-1)  # [B, N, 6F]
 
-        # recall 0.90: the neighbors only feed permutation-invariant
-        # statistics and a max-pooled MLP; the cheaper aggregation buffer
-        # halves the kNN cost (see ops/grouping.py::knn docstring).
-        rel_pos, _ = knn_relative_positions(xyz, k, recall_target=0.90)
+        # recall 0.90 + ordered=False: the neighbors only feed
+        # permutation-invariant statistics and a max-pooled MLP, so the SET
+        # selection kernel (ops/grouping.py::knn_set) skips the approx-top-k
+        # aggregation sort entirely on TPU.
+        rel_pos, _ = knn_relative_positions(
+            xyz, k, recall_target=0.90, ordered=False
+        )
         struct = local_structure_features(rel_pos)  # [B, N, 13]
 
         # The reference concatenates [abs_enc | rel_pos | struct] per neighbor
@@ -108,7 +111,8 @@ class EnhancedPositionalEncoding(nn.Module):
         n = xyz.shape[1]
         k = min(self.k_neighbors, n)
         half = self.channels // 2
-        rel_pos, _ = knn_relative_positions(xyz, k)  # [B, N, k, 3]
+        # mean-pooled per-neighbor branch + statistics: set semantics suffice
+        rel_pos, _ = knn_relative_positions(xyz, k, ordered=False)
 
         # relative branch (:380-404)
         dist = jnp.linalg.norm(rel_pos, axis=-1, keepdims=True)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax
 
-from ..ops import edge_conv_graph_feature, index_points, knn
+from ..ops import edge_conv_graph_feature, index_points, knn, knn_set
 
 
 def _edgeconv_fast_default() -> bool:
@@ -112,7 +112,9 @@ class EdgeConv(nn.Module):
             h = nn.leaky_relu(h, negative_slope=0.2)
             return jnp.max(h, axis=2)  # [B, N, features]
 
-        idx = knn(x, k=self.k, recall_target=self.recall_target)
+        # max-pooled consumer: the neighbor SET suffices — knn_set skips the
+        # approx-top-k aggregation sort on TPU (same recall semantics)
+        idx = knn_set(x, k=self.k, recall_target=self.recall_target)
         dense = nn.Dense(self.features, use_bias=False, name="conv")
         zeros = jnp.zeros_like(x)
         # W rows [0:C] act on (x_j - x_i), rows [C:2C] on x_i

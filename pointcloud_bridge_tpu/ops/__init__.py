@@ -15,6 +15,7 @@ from .sampling import (
 from .grouping import (
     query_ball_point,
     knn,
+    knn_set,
     knn_stat_weighted,
     sample_and_group,
     group_points,
@@ -36,6 +37,7 @@ __all__ = [
     "density_weighted_sample_indices",
     "query_ball_point",
     "knn",
+    "knn_set",
     "knn_stat_weighted",
     "sample_and_group",
     "group_points",

@@ -57,6 +57,12 @@ def _eager_off_tpu(*arrays) -> bool:
                     return True
             except Exception:
                 return False
+        else:
+            # numpy/python operand in eager: placement follows the active
+            # jax.default_device(...) context (e.g. model.init on CPU)
+            dd = jax.config.jax_default_device
+            if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+                return True
     return False
 
 
@@ -189,6 +195,52 @@ def knn_with_distance(
     else:
         neg, idx = lax.top_k(-d, k)
     return (-neg), idx.astype(jnp.int32)
+
+
+def knn_set(
+    xyz: jax.Array,
+    query: Optional[jax.Array] = None,
+    k: int = 16,
+    recall_target: float = 0.90,
+) -> jax.Array:
+    """k nearest neighbors, SET semantics (indices NOT distance-sorted).
+
+    For permutation-invariant consumers (neighborhood statistics, mean- or
+    max-pooled per-neighbor MLPs: BSE/EPE/EdgeConv) the distance ordering of
+    `knn` is unused. The bit-bisection buffer-selection kernel
+    (pallas_kernels/knnset.py) replaces approx_max_k's aggregation sort with
+    an exact O(L) selection — but MEASURED NEUTRAL on v5e at rt 0.90 buffer
+    sizes (same-run: k=16/L=256 0.98 vs 0.91 ms; k=32/L=512 1.51 vs
+    1.46 ms): the 31 bisection compare+reduce passes cost what the L<=512
+    sort does. Default OFF (PCB_KNNSET_PALLAS=1 opts in, e.g. for
+    recall_target>=0.95 workloads where L doubles and the sort dominates);
+    the op then falls back to `knn` (a sorted list is also a valid set).
+
+    Returns [B, S, k] int32.
+    """
+    import os
+
+    if query is None:
+        query = xyz
+    n = xyz.shape[1]
+    wanted = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("PCB_KNNSET_PALLAS", "0") not in ("0", "false")
+        and k < n
+        and k <= 64
+        and not _eager_off_tpu(xyz, query)
+    )
+    if not wanted:
+        return knn(xyz, query, k, recall_target=recall_target)
+    from .pallas_kernels.knnset import topk_set_from_buffer
+
+    d = square_distance(query, xyz)
+    neg, idx = lax.approx_max_k(
+        -d, k, recall_target=recall_target, aggregate_to_topk=False
+    )
+    if neg.shape[-1] > 1024:  # VMEM cap on the [TQ, L] selection tiles
+        return knn(xyz, query, k, recall_target=recall_target)
+    return topk_set_from_buffer(neg, idx, k)
 
 
 def knn_stat_weighted(

@@ -30,18 +30,16 @@ from .grouping import knn
 from .core import index_points
 
 
-def eigh3x3(a: jax.Array) -> jax.Array:
-    """Eigenvalues of symmetric 3x3 matrices, closed form, descending order.
+def eigvals3_from_entries(a00, a01, a02, a11, a12, a22):
+    """Cardano eigenvalues (descending) from the 6 unique entries of a
+    symmetric 3x3, elementwise over any batch shape.
 
-    Args:
-      a: [..., 3, 3] symmetric.
-    Returns:
-      [..., 3] eigenvalues, largest first.
+    TPU layout note: taking scalar-plane entries instead of an [..., 3, 3]
+    tensor matters — minor dims (3, 3) pad to the (8, 128) f32 tile, a 43x
+    physical bloat that made the covariance+eigh chain cost 0.43 ms of the
+    BSE forward at B=4, N=4096 (measured; plane form avoids it entirely).
+    Returns (e1, e2, e3), largest first.
     """
-    a = a.astype(jnp.float32)
-    a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
-    a11, a12, a22 = a[..., 1, 1], a[..., 1, 2], a[..., 2, 2]
-
     q = (a00 + a11 + a22) / 3.0
     p1 = a01**2 + a02**2 + a12**2
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
@@ -68,6 +66,22 @@ def eigh3x3(a: jax.Array) -> jax.Array:
     e1 = jnp.where(degenerate, q, e1)
     e2 = jnp.where(degenerate, q, e2)
     e3 = jnp.where(degenerate, q, e3)
+    return e1, e2, e3
+
+
+def eigh3x3(a: jax.Array) -> jax.Array:
+    """Eigenvalues of symmetric 3x3 matrices, closed form, descending order.
+
+    Args:
+      a: [..., 3, 3] symmetric.
+    Returns:
+      [..., 3] eigenvalues, largest first.
+    """
+    a = a.astype(jnp.float32)
+    e1, e2, e3 = eigvals3_from_entries(
+        a[..., 0, 0], a[..., 0, 1], a[..., 0, 2],
+        a[..., 1, 1], a[..., 1, 2], a[..., 2, 2],
+    )
     return jnp.stack([e1, e2, e3], axis=-1)
 
 
@@ -121,43 +135,61 @@ def local_structure_features(rel_pos: jax.Array) -> jax.Array:
     k = rel_pos.shape[-2]
     rel_pos = rel_pos.astype(jnp.float32)
 
-    cov = local_covariance(rel_pos)  # [B, N, 3, 3]
-    ev = eigh3x3(cov)  # descending [B, N, 3]
-    l1 = ev[..., 0] + 1e-8
-    linearity = (ev[..., 0] - ev[..., 1]) / l1
-    planarity = (ev[..., 1] - ev[..., 2]) / l1
-    sphericity = ev[..., 2] / l1
-    pca_feats = jnp.stack([linearity, planarity, sphericity], axis=-1)
+    # Everything below runs on the coordinate PLANES rx/ry/rz [B, N, k] and
+    # [B, N] scalars — never an [..., 3]- or [..., 3, 3]-minor tensor. On TPU
+    # the minor two dims pad to the (8, 128) f32 tile, so [B,N,3,3] carries a
+    # 43x physical bloat (measured 0.43 ms just for the cov+eigh chain at
+    # B=4, N=4096 in the stacked form; the plane form collapses it).
+    rx, ry, rz = rel_pos[..., 0], rel_pos[..., 1], rel_pos[..., 2]
+    inv_km1 = 1.0 / (k - 1)
 
-    center = jnp.mean(rel_pos, axis=2, keepdims=True)
-    dists = jnp.linalg.norm(rel_pos - center, axis=-1)  # [B, N, k]
+    cxx = jnp.sum(rx * rx, axis=-1) * inv_km1
+    cyy = jnp.sum(ry * ry, axis=-1) * inv_km1
+    czz = jnp.sum(rz * rz, axis=-1) * inv_km1
+    cxy = jnp.sum(rx * ry, axis=-1) * inv_km1
+    cxz = jnp.sum(rx * rz, axis=-1) * inv_km1
+    cyz = jnp.sum(ry * rz, axis=-1) * inv_km1
+    e1, e2, e3 = eigvals3_from_entries(cxx, cxy, cxz, cyy, cyz, czz)
+    l1 = e1 + 1e-8
+    linearity = (e1 - e2) / l1
+    planarity = (e2 - e3) / l1
+    sphericity = e3 / l1
+
+    mx = jnp.mean(rx, axis=-1)
+    my = jnp.mean(ry, axis=-1)
+    mz = jnp.mean(rz, axis=-1)
+    dx = rx - mx[..., None]
+    dy = ry - my[..., None]
+    dz = rz - mz[..., None]
+    dists = jnp.sqrt(dx * dx + dy * dy + dz * dz)  # [B, N, k]
     local_radius = jnp.max(dists, axis=-1)
     mean_dist = jnp.mean(dists, axis=-1)
     std_dist = jnp.std(dists, axis=-1, ddof=1)
-    local_stats = jnp.stack([local_radius, mean_dist, std_dist], axis=-1)
 
     # Direction consistency: mean pairwise cosine similarity of neighbor dirs.
     # mean_{ij} (u_i . u_j) == |sum_i u_i|^2 / k^2 — O(k) instead of the
     # reference's explicit [k, k] Gram matrix (attention_modules.py:659-663).
-    unit = rel_pos / (jnp.linalg.norm(rel_pos, axis=-1, keepdims=True) + 1e-8)
-    dir_sum = jnp.sum(unit, axis=2)  # [B, N, 3]
-    direction_consistency = jnp.sum(dir_sum**2, axis=-1) / (k * k)
+    inv_norm = 1.0 / (jnp.sqrt(rx * rx + ry * ry + rz * rz) + 1e-8)
+    sx = jnp.sum(rx * inv_norm, axis=-1)
+    sy = jnp.sum(ry * inv_norm, axis=-1)
+    sz = jnp.sum(rz * inv_norm, axis=-1)
+    direction_consistency = (sx * sx + sy * sy + sz * sz) / (k * k)
 
-    z = rel_pos[..., 2]
-    z_std = jnp.std(z, axis=-1, ddof=1)
-    z_range = jnp.max(z, axis=-1) - jnp.min(z, axis=-1)
-    z_stats = jnp.stack([z_std, z_range], axis=-1)
+    z_std = jnp.std(rz, axis=-1, ddof=1)
+    z_range = jnp.max(rz, axis=-1) - jnp.min(rz, axis=-1)
 
-    mean_rel = jnp.mean(rel_pos, axis=2)  # [B, N, 3]
-    std_norm = jnp.linalg.norm(jnp.std(rel_pos, axis=2, ddof=1), axis=-1, keepdims=True)
+    vx = jnp.std(rx, axis=-1, ddof=1)
+    vy = jnp.std(ry, axis=-1, ddof=1)
+    vz = jnp.std(rz, axis=-1, ddof=1)
+    std_norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
 
-    return jnp.concatenate(
+    return jnp.stack(
         [
-            pca_feats,
-            local_stats,
-            direction_consistency[..., None],
-            z_stats,
-            mean_rel,
+            linearity, planarity, sphericity,
+            local_radius, mean_dist, std_dist,
+            direction_consistency,
+            z_std, z_range,
+            mx, my, mz,
             std_norm,
         ],
         axis=-1,
@@ -181,9 +213,18 @@ def estimate_normals(xyz: jax.Array, k: int = 20) -> jax.Array:
 
 
 def knn_relative_positions(
-    xyz: jax.Array, k: int, recall_target: float = 0.95
+    xyz: jax.Array, k: int, recall_target: float = 0.95, ordered: bool = True
 ) -> Tuple[jax.Array, jax.Array]:
-    """k-NN then center-relative positions. Returns (rel_pos [B,N,k,3], idx)."""
-    idx = knn(xyz, k=k, recall_target=recall_target)
+    """k-NN then center-relative positions. Returns (rel_pos [B,N,k,3], idx).
+
+    ordered=False: permutation-invariant consumers (statistics, mean/max
+    pooling — BSE/EPE) take the neighbor SET via `knn_set`, skipping the
+    approx-top-k aggregation sort on TPU (~2/3 of the kNN cost)."""
+    if ordered:
+        idx = knn(xyz, k=k, recall_target=recall_target)
+    else:
+        from .grouping import knn_set
+
+        idx = knn_set(xyz, k=k, recall_target=recall_target)
     neighbors = index_points(xyz, idx)
     return neighbors - xyz[:, :, None, :], idx

@@ -342,3 +342,68 @@ def test_ptv3_flash_vs_xla_training_trajectory_on_tpu(rng, monkeypatch):
     xla_losses = run(False)
     np.testing.assert_allclose(flash_losses, xla_losses, rtol=5e-3, atol=5e-3)
     assert flash_losses[-1] < flash_losses[0]
+
+
+# ---------------------------------------------------------------------------
+# kNN SET selection from the approx-top-k buffer (knnset)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("s,l,k", [(512, 256, 16), (300, 128, 20), (64, 128, 32)])
+def test_knnset_buffer_selection_matches_sort_oracle(rng, s, l, k):
+    """topk_set_from_buffer must select EXACTLY the set that sorting the
+    buffer by (distance, buffer position) and taking k would."""
+    from pointcloud_bridge_tpu.ops.pallas_kernels.knnset import (
+        topk_set_from_buffer,
+    )
+
+    b = 2
+    d2 = rng.uniform(size=(b, s, l)).astype(np.float32)
+    # inject ties so the tie-break path is exercised
+    d2[:, :, 1::7] = d2[:, :, 0::7][..., : d2[:, :, 1::7].shape[-1]]
+    idx = rng.integers(0, 4096, (b, s, l)).astype(np.int32)
+    got = np.asarray(
+        topk_set_from_buffer(jnp.asarray(-d2), jnp.asarray(idx), k, True)
+    )
+    # oracle: stable argsort by value -> first k buffer slots -> indices
+    order = np.argsort(d2, axis=-1, kind="stable")[..., :k]
+    want = np.take_along_axis(idx, order, axis=-1)
+    # SET comparison (kernel output is in buffer order, oracle in dist order)
+    np.testing.assert_array_equal(np.sort(got, -1), np.sort(want, -1))
+
+
+def test_knn_set_equals_knn_set_semantics(rng):
+    """On CPU knn_set falls back to knn; the contract is the same SET."""
+    from pointcloud_bridge_tpu.ops import knn, knn_set
+
+    x = jnp.asarray(rng.uniform(size=(2, 256, 3)).astype(np.float32))
+    a = np.sort(np.asarray(knn_set(x, k=16)), -1)
+    b2 = np.sort(np.asarray(knn(x, k=16)), -1)
+    np.testing.assert_array_equal(a, b2)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_knnset_matches_aggregated_approx_on_tpu(rng):
+    """On the device: knn_set's selection from the noagg buffer must equal
+    the SET approx_max_k(aggregate_to_topk=True) would return (same buffer,
+    same recall semantics)."""
+    from jax import lax
+
+    from pointcloud_bridge_tpu.ops.core import square_distance
+    from pointcloud_bridge_tpu.ops.pallas_kernels.knnset import (
+        topk_set_from_buffer,
+    )
+
+    x = jnp.asarray(rng.uniform(size=(2, 1024, 3)).astype(np.float32))
+    k = 16
+    d = square_distance(x, x)
+    neg, idx = lax.approx_max_k(
+        -d, k, recall_target=0.90, aggregate_to_topk=False
+    )
+    got = np.sort(np.asarray(topk_set_from_buffer(neg, idx, k)), -1)
+    # aggregate the same buffer with the library path
+    vals2, agg_pos = lax.top_k(neg, k)
+    want = np.sort(np.asarray(jnp.take_along_axis(idx, agg_pos, axis=-1)), -1)
+    np.testing.assert_array_equal(got, want)
