@@ -20,6 +20,15 @@ Supported models (reference anchors):
   - pointnet       Highway_bridge/models/pointnet.py:59-173 (+TNet :10-57)
   - dgcnn_global   Highway_bridge/models/model.py:372-482
   - ptv3           Highway_bridge/models/PointTransformerV3.py:173-304
+
+bristrunet is deliberately NOT mappable: beyond the dead cls_head, our
+BridgeStructureEncoding intentionally fixes the reference's scrambled
+eigenvalue indexing (attention_modules.py:639-641 applies the descending
+formula to torch's ascending order — see ops/structure.py docstring), and
+splits BSE's per-neighbor Dense into shared+relative parts; identical
+weights therefore cannot produce identical logits BY DESIGN. Its parity
+evidence is component-level (losses, ops, param counts) + convergence
+class, per PARITY.md.
 """
 
 from __future__ import annotations
@@ -165,6 +174,41 @@ def _rules_ptv3(depth: int = 12) -> List[Rule]:
     return r
 
 
+def _rules_pointnet2_sem_seg() -> List[Rule]:
+    """Partsize pointnet2_sem_seg (Partsize-identical/models/
+    pointnet2_sem_seg.py:7-47): 4x SSG SA + 4x FP + head."""
+    r: List[Rule] = []
+    for i in (1, 2, 3, 4):
+        for j in range(3):
+            r.append((f"sa{i}.mlp_convs.{j}", (f"sa{i}", "mlp", f"dense_{j}"), "conv"))
+            r.append((f"sa{i}.mlp_bns.{j}", (f"sa{i}", "mlp", f"bn_{j}"), "bn"))
+    for fp, nl in (("fp4", 2), ("fp3", 2), ("fp2", 2), ("fp1", 3)):
+        for j in range(nl):
+            r.append((f"{fp}.mlp_convs.{j}", (fp, "mlp", f"dense_{j}"), "conv"))
+            r.append((f"{fp}.mlp_bns.{j}", (fp, "mlp", f"bn_{j}"), "bn"))
+    r += [
+        ("conv1", ("head", "dense0"), "conv"),
+        ("bn1", ("head", "bn0"), "bn"),
+        ("conv2", ("head", "dense1"), "conv"),
+    ]
+    return r
+
+
+def _rules_pointnet_sem_seg() -> List[Rule]:
+    """Partsize pointnet_sem_seg (pointnet_sem_seg.py:10-41 + PointNetEncoder
+    pointnet.py:99-145): STN3d(9ch) + encoder + STNkd(64) + 4-conv head."""
+    r = _rules_tnet("feat.stn", "stn")
+    r += _rules_tnet("feat.fstn", "fstn")
+    for i in (1, 2, 3):
+        r.append((f"feat.conv{i}", (f"conv{i}",), "conv"))
+        r.append((f"feat.bn{i}", (f"bn{i}",), "bn"))
+    for i in (1, 2, 3, 4):
+        r.append((f"conv{i}", (f"head{i}",), "conv"))
+    for i in (1, 2, 3):
+        r.append((f"bn{i}", (f"bn_h{i}",), "bn"))
+    return r
+
+
 def _ptv3_depth(sd: Dict[str, Any]) -> int:
     d = 0
     while f"blocks.{d}.norm1.weight" in sd:
@@ -205,10 +249,15 @@ def convert_state_dict(
         rules = _rules_dgcnn_global()
     elif name == "ptv3":
         rules = _rules_ptv3(_ptv3_depth(sd))
+    elif name == "pointnet2_sem_seg":
+        rules = _rules_pointnet2_sem_seg()
+    elif name == "pointnet_sem_seg":
+        rules = _rules_pointnet_sem_seg()
     else:
         raise ValueError(
             f"no torch-import rules for model '{model_name}' "
-            f"(supported: pointnet2_ssg, pointnet, dgcnn_global, ptv3)"
+            f"(supported: pointnet2_ssg, pointnet, dgcnn_global, ptv3, "
+            f"pointnet2_sem_seg, pointnet_sem_seg)"
         )
     params, stats, used = _apply_rules(rules, sd)
     if strict:

@@ -248,3 +248,99 @@ def test_checkpoint_roundtrip_via_file(torch, ref_pkg, tmp_path):
         ours.apply(variables, jnp.asarray(xyz), jnp.asarray(rgb), train=False)
     )
     np.testing.assert_allclose(got, theirs, rtol=2e-4, atol=2e-4)
+
+
+PARTSIZE_MODELS = "/root/reference/Partsize-identical/models"
+
+
+@pytest.fixture(scope="module")
+def partsize_pkg():
+    """Partsize models use absolute sibling imports (from pointnet_util
+    import ...) — load with their dir on sys.path."""
+    if not os.path.isdir(PARTSIZE_MODELS):
+        pytest.skip("Partsize reference not available")
+    sys.path.insert(0, PARTSIZE_MODELS)
+    import importlib
+
+    mods = {
+        name: importlib.import_module(name)
+        for name in ("pointnet_util", "pointnet2_sem_seg", "pointnet_sem_seg")
+    }
+    yield mods
+    sys.path.pop(0)
+
+
+def test_partsize_pointnet2_sem_seg_logits_parity(torch, partsize_pkg, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.utils.torch_import import (
+        convert_state_dict,
+        validate_variables,
+    )
+
+    utils = partsize_pkg["pointnet_util"]
+    monkeypatch.setattr(utils, "farthest_point_sample", _det_fps(utils))
+
+    rng = np.random.default_rng(5)
+    b, n = 1, 1280  # > sa1 npoint (1024): reference sizes run as-is
+    block9 = rng.uniform(size=(b, n, 9)).astype(np.float32)
+    xyz = block9[:, :, :3].copy()
+
+    tm = partsize_pkg["pointnet2_sem_seg"].get_model(5).eval()
+    _randomize_bn(torch, tm, seed=5)
+    ours = get_model("pointnet2_sem_seg", num_classes=5)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_state_dict("pointnet2_sem_seg", sd, strict=True)
+    init_vars = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(xyz), jnp.asarray(block9), train=False
+    )
+    validate_variables(variables, init_vars)
+
+    with torch.no_grad():
+        theirs, _ = tm(torch.tensor(np.transpose(block9, (0, 2, 1))))
+    theirs = theirs.numpy()  # [B, N, C] log-probs
+    logits = ours.apply(
+        variables, jnp.asarray(xyz), jnp.asarray(block9), train=False
+    )
+    got = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    np.testing.assert_allclose(got, theirs, rtol=2e-4, atol=3e-4)
+
+
+def test_partsize_pointnet_sem_seg_logits_parity(torch, partsize_pkg):
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.utils.torch_import import (
+        convert_state_dict,
+        validate_variables,
+    )
+
+    rng = np.random.default_rng(6)
+    b, n = 2, 256
+    block9 = rng.uniform(size=(b, n, 9)).astype(np.float32)
+    xyz = block9[:, :, :3].copy()
+    feats = block9[:, :, 3:].copy()
+
+    tm = partsize_pkg["pointnet_sem_seg"].get_model(5, with_rgb=True).eval()
+    _randomize_bn(torch, tm, seed=6)
+    ours = get_model("pointnet_sem_seg", num_classes=5, with_rgb=True)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_state_dict("pointnet_sem_seg", sd, strict=True)
+    init_vars = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(xyz), jnp.asarray(feats), train=False
+    )
+    validate_variables(variables, init_vars)
+
+    with torch.no_grad():
+        theirs, _ = tm(torch.tensor(np.transpose(block9, (0, 2, 1))))
+    theirs = theirs.numpy()  # [B, N, C] log-probs
+    logits = np.asarray(
+        ours.apply(variables, jnp.asarray(xyz), jnp.asarray(feats), train=False)
+    )
+    got = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    np.testing.assert_allclose(got, theirs, rtol=2e-4, atol=3e-4)
