@@ -16,6 +16,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("PCB_FPS_PALLAS", "1")
 
 import numpy as np
@@ -58,19 +59,28 @@ def main():
     state = res["state"]
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    # Inference must match the training contract: the model was trained on
+    # whole-scene-NORMALIZED coordinates (make_training_blocks), so the vote
+    # gridder normalizes the scene too and block sizes are in normalized
+    # units (8 m raw / scene radius).
+    centered = xyz - xyz.mean(axis=0, keepdims=True)
+    radius = float(np.sqrt((centered**2).sum(axis=1)).max())
+    bs_norm = 8.0 / radius
+    stride_norm = 0.75 * bs_norm
+
     # warm-up: compile the batch forward on a small scene first
     small6 = points6[:200_000]
     whole_scene_vote_predict(
         model, variables, small6, labels[:200_000], np.ones(num_classes),
-        num_classes, block_points=block_points, block_size=8.0, stride=6.0,
-        num_votes=1, batch_size=4,
+        num_classes, block_points=block_points, block_size=bs_norm,
+        stride=stride_norm, num_votes=1, batch_size=4, normalize_scene=True,
     )
 
     t0 = time.time()
     out = whole_scene_vote_predict(
         model, variables, points6, labels, np.ones(num_classes), num_classes,
-        block_points=block_points, block_size=8.0, stride=6.0, num_votes=3,
-        batch_size=4,
+        block_points=block_points, block_size=bs_norm, stride=stride_norm,
+        num_votes=3, batch_size=4, normalize_scene=True,
     )
     wall = time.time() - t0
     covered = int((out["vote_pool"].sum(axis=1) > 0).sum())

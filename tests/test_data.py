@@ -135,6 +135,91 @@ def test_whole_scene_grid_covers_every_point():
     np.testing.assert_array_equal(labs[0], labels[idxs[0]])
 
 
+def _grid_blocks_naive(
+    points6, labels, labelweights, block_points, block_size, stride,
+    padding=0.001, center_xy=True, seed=0,
+):
+    """Reference per-cell O(grid·N) scan implementation — the oracle for the
+    vectorized binning in blocks.py::_grid_cell_members (bit-exact incl. RNG
+    call order)."""
+    rng = np.random.default_rng(seed)
+    coord_min = points6[:, :3].min(axis=0)
+    coord_max = points6[:, :3].max(axis=0)
+    grid_x = int(np.ceil((coord_max[0] - coord_min[0] - block_size) / stride) + 1)
+    grid_y = int(np.ceil((coord_max[1] - coord_min[1] - block_size) / stride) + 1)
+    grid_x, grid_y = max(grid_x, 1), max(grid_y, 1)
+    datas, labs, wts, idxs = [], [], [], []
+    ext = coord_max - coord_min
+    for iy in range(grid_y):
+        for ix in range(grid_x):
+            s_x = coord_min[0] + ix * stride
+            e_x = min(s_x + block_size, coord_max[0])
+            s_x = e_x - block_size
+            s_y = coord_min[1] + iy * stride
+            e_y = min(s_y + block_size, coord_max[1])
+            s_y = e_y - block_size
+            pid = np.where(
+                (points6[:, 0] >= s_x - padding)
+                & (points6[:, 0] <= e_x + padding)
+                & (points6[:, 1] >= s_y - padding)
+                & (points6[:, 1] <= e_y + padding)
+            )[0]
+            if pid.size == 0:
+                continue
+            nb = int(np.ceil(pid.size / block_points))
+            target = nb * block_points
+            replace = (target - pid.size) > pid.size
+            extra = rng.choice(pid, target - pid.size, replace=replace)
+            pid = np.concatenate([pid, extra])
+            rng.shuffle(pid)
+            batch = points6[pid].copy()
+            norm_xyz = np.zeros((target, 3))
+            norm_xyz[:, 0] = batch[:, 0] / max(ext[0], 1e-9)
+            norm_xyz[:, 1] = batch[:, 1] / max(ext[1], 1e-9)
+            norm_xyz[:, 2] = batch[:, 2] / max(ext[2], 1e-9)
+            if center_xy:
+                batch[:, 0] -= s_x + block_size / 2.0
+                batch[:, 1] -= s_y + block_size / 2.0
+            datas.append(np.concatenate([batch, norm_xyz], axis=1))
+            lab = labels[pid].astype(np.int64)
+            labs.append(lab)
+            wts.append(labelweights[lab])
+            idxs.append(pid)
+    data = np.concatenate(datas).reshape(-1, block_points, 9).astype(np.float32)
+    lab = np.concatenate(labs).reshape(-1, block_points)
+    wt = np.concatenate(wts).reshape(-1, block_points).astype(np.float32)
+    idx = np.concatenate(idxs).reshape(-1, block_points).astype(np.int64)
+    return data, lab, wt, idx
+
+
+@pytest.mark.parametrize(
+    "bs,stride,pad,center",
+    [
+        (4.0, 2.0, 0.001, True),
+        (8.0, 6.0, 0.001, False),   # streaming-demo config (non-divisible)
+        (100.0, 50.0, 0.001, True),  # block larger than the scene extent
+        (3.0, 3.0, 0.0, True),       # no overlap, zero padding
+    ],
+)
+def test_whole_scene_grid_matches_naive_scan(bs, stride, pad, center):
+    """The vectorized searchsorted binning must be BIT-identical to per-cell
+    np.where scans — same membership at window boundaries, same cell visit
+    order, same RNG consumption."""
+    xyz, rgb, labels = toy_bridge_scene(6000, seed=7)
+    pts6 = np.concatenate([xyz, rgb], axis=1).astype(np.float32)
+    lw = scene_labelweights([labels], 5)
+    got = whole_scene_grid_blocks(
+        pts6, labels, lw, block_points=512, block_size=bs, stride=stride,
+        padding=pad, center_xy=center, seed=3,
+    )
+    want = _grid_blocks_naive(
+        pts6, labels, lw, 512, bs, stride, padding=pad, center_xy=center,
+        seed=3,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_scene_labelweights_ordering():
     labels = np.concatenate([np.zeros(1000), np.ones(10)]).astype(int)
     w = scene_labelweights([labels], 2)
