@@ -2,10 +2,12 @@
 
 Runs whole-scene K-vote segmentation over a multi-million-point synthetic
 bridge scene on the real TPU and reports END-TO-END points/sec — gridding,
-H2D feed, device forward, and the host vote scatter all included (the vote
-loop double-buffers so the scatter overlaps device compute;
-infer/vote.py). This is the "arbitrarily large scan" capability the
-reference only has at Python-loop speed (Partsize test_sem_seg.py:58-65).
+H2D feed, device forward, and the host vote scatter all included. The vote
+loop streams int32 block indices and gathers the scene table on device
+(uploaded once), and defers each vote's single fetch under the next vote's
+host gridding (infer/vote.py device_gather). This is the "arbitrarily
+large scan" capability the reference only has at Python-loop speed
+(Partsize test_sem_seg.py:58-65).
 
 Usage:  python examples/large_scene_stream.py [n_points_millions]
 """

@@ -371,6 +371,134 @@ def _grid_cell_members(
         yield int(cell_s[b]), pt_s[b : bounds[k + 1]]
 
 
+def _grid_block_pids(
+    points6: np.ndarray,
+    block_points: int,
+    block_size: float,
+    stride: float,
+    padding: float,
+    seed: int,
+):
+    """Shared cell -> shuffled-point-id selection for the whole-scene grid.
+
+    Returns (blocks, points6_f32, coord_min, coord_max) where blocks is a
+    list of (pid [target], cx, cy): pid is the pad-resampled, shuffled member
+    list of one grid cell (target a multiple of block_points) and (cx, cy)
+    the cell's XY block center as np.float32 — the exact scalar the data
+    path subtracts when center_xy. The rng call sequence (one choice + one
+    shuffle per nonempty cell, ascending cell order) is the contract that
+    keeps whole_scene_grid_blocks and whole_scene_grid_indices bit-identical
+    at the same seed.
+    """
+    rng = np.random.default_rng(seed)
+    points6 = np.ascontiguousarray(points6, dtype=np.float32)
+    coord_min = points6[:, :3].min(axis=0)
+    coord_max = points6[:, :3].max(axis=0)
+    grid_x = int(np.ceil((coord_max[0] - coord_min[0] - block_size) / stride) + 1)
+    grid_y = int(np.ceil((coord_max[1] - coord_min[1] - block_size) / stride) + 1)
+    grid_x, grid_y = max(grid_x, 1), max(grid_y, 1)
+
+    blocks = []
+    for cell_id, pid in _grid_cell_members(
+        points6, coord_min, coord_max, grid_x, grid_y, block_size, stride,
+        padding,
+    ):
+        target = int(np.ceil(pid.size / block_points)) * block_points
+        iy, ix = divmod(cell_id, grid_x)
+        s_x = coord_min[0] + ix * stride
+        e_x = min(s_x + block_size, coord_max[0])
+        s_x = e_x - block_size
+        s_y = coord_min[1] + iy * stride
+        e_y = min(s_y + block_size, coord_max[1])
+        s_y = e_y - block_size
+        replace = (target - pid.size) > pid.size
+        extra = rng.choice(pid, target - pid.size, replace=replace)
+        pid = np.concatenate([pid, extra])
+        rng.shuffle(pid)
+        blocks.append(
+            (
+                pid,
+                np.float32(s_x + block_size / 2.0),
+                np.float32(s_y + block_size / 2.0),
+            )
+        )
+    return blocks, points6, coord_min, coord_max
+
+
+def scene_feature_table(points6: np.ndarray) -> np.ndarray:
+    """Per-point 9-channel feature table [N, 9] = [xyz | rgb | xyz/extent].
+
+    Row i gathered at index pid equals whole_scene_grid_blocks' UNcentered
+    block row for point pid bit-for-bit (same f32 divide by the same f32
+    extent scalars); block XY-centering is a per-block affine applied after
+    gathering. This is the device-resident half of the index-streaming vote
+    path (infer/vote.py device_gather): the table crosses the link once,
+    per-vote traffic is int32 indices only.
+    """
+    points6 = np.ascontiguousarray(points6, dtype=np.float32)
+    coord_min = points6[:, :3].min(axis=0)
+    coord_max = points6[:, :3].max(axis=0)
+    ext = coord_max - coord_min
+    inv = [max(ext[0], 1e-9), max(ext[1], 1e-9), max(ext[2], 1e-9)]
+    tab = np.empty((len(points6), 9), np.float32)
+    tab[:, :6] = points6
+    for c in range(3):
+        np.divide(points6[:, c], inv[c], out=tab[:, 6 + c])
+    return tab
+
+
+def whole_scene_grid_indices(
+    points6: np.ndarray,
+    labels: np.ndarray,
+    labelweights: np.ndarray,
+    block_points: int = 4096,
+    block_size: float = 1.0,
+    stride: float = 0.5,
+    padding: float = 0.001,
+    center_xy: bool = True,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Indices-only whole_scene_grid_blocks: the same grid coverage and the
+    same pad-resampling rng (idxs are bit-identical at equal seeds), but no
+    [nb, P, 9] block tensor is materialized — callers gather rows of
+    scene_feature_table() on the device instead (6x less host->device
+    traffic, and the dominant host cost of the gridding pass — ~160 MB of
+    gather+write per 1M-point vote — disappears).
+
+    Returns (idxs [nb, P] int64, weights [nb, P] f32, centers [nb, 2] f32);
+    centers are the XY offsets to subtract from gathered coordinates
+    (zeros when center_xy=False).
+    """
+    blocks, _, _, _ = _grid_block_pids(
+        points6, block_points, block_size, stride, padding, seed
+    )
+    if not blocks:
+        return (
+            np.zeros((0, block_points), np.int64),
+            np.zeros((0, block_points), np.float32),
+            np.zeros((0, 2), np.float32),
+        )
+    labels = np.ascontiguousarray(labels, dtype=np.int64)
+    total_rows = sum(len(pid) for pid, _, _ in blocks)
+    nb = total_rows // block_points
+    idx = np.empty(total_rows, np.int64)
+    centers = np.zeros((nb, 2), np.float32)
+    s = 0
+    for pid, cx, cy in blocks:
+        idx[s : s + len(pid)] = pid
+        if center_xy:
+            b0 = s // block_points
+            centers[b0 : b0 + len(pid) // block_points] = (cx, cy)
+        s += len(pid)
+    lab = labels[idx]
+    wt = labelweights[lab].astype(np.float32, copy=False)
+    return (
+        idx.reshape(-1, block_points),
+        wt.reshape(-1, block_points),
+        centers,
+    )
+
+
 def whole_scene_grid_blocks(
     points6: np.ndarray,
     labels: np.ndarray,
@@ -391,41 +519,26 @@ def whole_scene_grid_blocks(
     weights [nb, block_points], idxs [nb, block_points]) where idxs are the
     original point indices used for vote accumulation.
     """
-    rng = np.random.default_rng(seed)
-    points6 = np.ascontiguousarray(points6, dtype=np.float32)
     labels = np.ascontiguousarray(labels, dtype=np.int64)
-    coord_min = points6[:, :3].min(axis=0)
-    coord_max = points6[:, :3].max(axis=0)
-    grid_x = int(np.ceil((coord_max[0] - coord_min[0] - block_size) / stride) + 1)
-    grid_y = int(np.ceil((coord_max[1] - coord_min[1] - block_size) / stride) + 1)
-    grid_x, grid_y = max(grid_x, 1), max(grid_y, 1)
-
-    ext = coord_max - coord_min
     # Materialize the per-cell member lists (views into one sorted array),
     # then assemble straight into preallocated outputs. On this host fresh
     # pages fault at ~100us/4K, so the naive build-a-list-then-concatenate
     # pattern (f64 intermediates, per-cell temporaries, one giant concat +
     # astype) costs minutes at 5M points; filling f32 outputs in place with
     # reused scratch buffers touches each output byte exactly once.
-    cells = list(
-        _grid_cell_members(
-            points6, coord_min, coord_max, grid_x, grid_y, block_size,
-            stride, padding,
-        )
+    blocks, points6, coord_min, coord_max = _grid_block_pids(
+        points6, block_points, block_size, stride, padding, seed
     )
-    if not cells:
+    if not blocks:
         return (
             np.zeros((0, block_points, 9), np.float32),
             np.zeros((0, block_points), np.int64),
             np.zeros((0, block_points), np.float32),
             np.zeros((0, block_points), np.int64),
         )
-    targets = [
-        int(np.ceil(pid.size / block_points)) * block_points
-        for _, pid in cells
-    ]
-    total_rows = int(np.sum(targets))
-    maxt = max(targets)
+    ext = coord_max - coord_min
+    total_rows = sum(len(pid) for pid, _, _ in blocks)
+    maxt = max(len(pid) for pid, _, _ in blocks)
     data = np.empty((total_rows, 9), np.float32)
     lab = np.empty(total_rows, np.int64)
     wt = np.empty(total_rows, np.float32)
@@ -434,18 +547,8 @@ def whole_scene_grid_blocks(
     inv = [max(ext[0], 1e-9), max(ext[1], 1e-9), max(ext[2], 1e-9)]
 
     s = 0
-    for (cell_id, pid), target in zip(cells, targets):
-        iy, ix = divmod(cell_id, grid_x)
-        s_x = coord_min[0] + ix * stride
-        e_x = min(s_x + block_size, coord_max[0])
-        s_x = e_x - block_size
-        s_y = coord_min[1] + iy * stride
-        e_y = min(s_y + block_size, coord_max[1])
-        s_y = e_y - block_size
-        replace = (target - pid.size) > pid.size
-        extra = rng.choice(pid, target - pid.size, replace=replace)
-        pid = np.concatenate([pid, extra])
-        rng.shuffle(pid)
+    for pid, cx, cy in blocks:
+        target = len(pid)
         e = s + target
         seg = data[s:e]
         g6 = tmp6[:target]
@@ -457,8 +560,8 @@ def whole_scene_grid_blocks(
             np.divide(g6[:, c], inv[c], out=seg[:, 6 + c])
         seg[:, :6] = g6
         if center_xy:
-            seg[:, 0] -= s_x + block_size / 2.0
-            seg[:, 1] -= s_y + block_size / 2.0
+            seg[:, 0] -= cx
+            seg[:, 1] -= cy
         labseg = lab[s:e]
         np.take(labels, pid, out=labseg)
         wt[s:e] = labelweights[labseg]

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.blocks import whole_scene_grid_blocks
+from ..data.blocks import (
+    scene_feature_table,
+    whole_scene_grid_blocks,
+    whole_scene_grid_indices,
+)
 from ..utils import metrics as M
 
 
@@ -49,6 +53,7 @@ def whole_scene_vote_predict(
     normalize_scene: bool = False,
     seed: int = 0,
     mesh=None,
+    device_gather: bool = True,
 ) -> Dict[str, Any]:
     """Predict labels for every point of one scene.
 
@@ -66,6 +71,12 @@ def whole_scene_vote_predict(
         (which see normalized coordinates); block_size/stride are then in
         normalized units. Partsize models (raw-centered columns) leave this
         False, matching test_sem_seg.py.
+      device_gather: stream int32 block INDICES to the device and gather the
+        per-point feature table there (uploaded once per scene), instead of
+        assembling + shipping [nb, P, 9] f32 blocks per vote. Identical
+        predictions (same rng, same f32 arithmetic, exact gather); 6x less
+        host->device traffic and no 9-channel host materialization. False
+        restores the host-assembly path.
     Returns {pred [N], metrics, vote_pool [N, C]}.
     """
     n = len(points6)
@@ -76,6 +87,7 @@ def whole_scene_vote_predict(
         points6[:, :3] = normalize_points(points6[:, :3].astype(np.float64))
     vote_pool = np.zeros((n, num_classes), np.float64)
 
+    data_sh = repl_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -85,18 +97,43 @@ def whole_scene_vote_predict(
         repl_sh = NamedSharding(mesh, P())
         variables = jax.device_put(variables, repl_sh)
 
-        @jax.jit
-        def forward(xyz, feats):
+    def _predict(xyz, feats):
+        if data_sh is not None:
             xyz = jax.lax.with_sharding_constraint(xyz, data_sh)
             feats = jax.lax.with_sharding_constraint(feats, data_sh)
-            logits = model.apply(variables, xyz, feats, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    else:
+        logits = model.apply(variables, xyz, feats, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        @jax.jit
-        def forward(xyz, feats):
-            logits = model.apply(variables, xyz, feats, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    @jax.jit
+    def forward(xyz, feats):
+        return _predict(xyz, feats)
+
+    @jax.jit
+    def forward_idx(table, idx, centers):
+        # Gather the block rows on device ([B, P] rows of the scene table;
+        # XLA's hardware row gather) and apply the per-block XY centering —
+        # reproduces whole_scene_grid_blocks' host assembly bit-for-bit.
+        if data_sh is not None:
+            idx = jax.lax.with_sharding_constraint(idx, data_sh)
+            centers = jax.lax.with_sharding_constraint(centers, data_sh)
+        g = jnp.take(table, idx, axis=0)  # [B, P, 6 or 9]
+        offs = jnp.concatenate(
+            [centers, jnp.zeros_like(centers[:, :1])], axis=-1
+        )
+        xyz = g[..., :3] - offs[:, None, :]
+        if feature_mode == "nine":
+            feats = jnp.concatenate([xyz, g[..., 3:]], axis=-1)
+        else:
+            feats = g[..., 3:6]
+        return _predict(xyz, feats)
+
+    table_dev = None
+    if device_gather:
+        ncols = 9 if feature_mode == "nine" else 6
+        table = scene_feature_table(points6)[:, :ncols]
+        table_dev = jnp.asarray(np.ascontiguousarray(table))
+        if repl_sh is not None:
+            table_dev = jax.device_put(table_dev, repl_sh)
 
     # Per-vote pipeline: all of a vote's forward batches are DISPATCHED
     # (async, jax enqueues) and concatenated on device, but the single
@@ -125,33 +162,51 @@ def whole_scene_vote_predict(
             )
         pending.clear()
 
+    def _pad_batch(a, s, e):
+        part = a[s:e]
+        if e - s < batch_size:  # pad to fixed shape for jit
+            part = np.concatenate(
+                [part, np.repeat(part[-1:], batch_size - (e - s), 0)]
+            )
+        return part
+
+    grid_kw = dict(
+        block_points=block_points,
+        block_size=block_size,
+        stride=stride,
+        center_xy=not normalize_scene,
+    )
     for vote in range(num_votes):
-        data, _, weights, idxs = whole_scene_grid_blocks(
-            points6,
-            labels,
-            labelweights,
-            block_points=block_points,
-            block_size=block_size,
-            stride=stride,
-            center_xy=not normalize_scene,
-            seed=seed + vote * 1009,
-        )
-        nb = len(data)
+        vote_seed = seed + vote * 1009
+        if device_gather:
+            idxs, weights, centers = whole_scene_grid_indices(
+                points6, labels, labelweights, seed=vote_seed, **grid_kw
+            )
+            nb = len(idxs)
+        else:
+            data, _, weights, idxs = whole_scene_grid_blocks(
+                points6, labels, labelweights, seed=vote_seed, **grid_kw
+            )
+            nb = len(data)
         if nb == 0:
             continue
         preds_parts = []
         for s in range(0, nb, batch_size):
             e = min(s + batch_size, nb)
-            chunk = data[s:e]
-            if e - s < batch_size:  # pad to fixed shape for jit
-                pad = batch_size - (e - s)
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            xyz = jnp.asarray(chunk[:, :, :3])
-            if feature_mode == "nine":
-                feats = jnp.asarray(chunk)
+            if device_gather:
+                idx_b = jnp.asarray(
+                    _pad_batch(idxs, s, e).astype(np.int32)
+                )
+                ctr_b = jnp.asarray(_pad_batch(centers, s, e))
+                preds_parts.append(forward_idx(table_dev, idx_b, ctr_b))
             else:
-                feats = jnp.asarray(chunk[:, :, 3:6])
-            preds_parts.append(forward(xyz, feats))
+                chunk = _pad_batch(data, s, e)
+                xyz = jnp.asarray(chunk[:, :, :3])
+                if feature_mode == "nine":
+                    feats = jnp.asarray(chunk)
+                else:
+                    feats = jnp.asarray(chunk[:, :, 3:6])
+                preds_parts.append(forward(xyz, feats))
             if sync_dispatch:
                 preds_parts[-1].block_until_ready()
         allp = (

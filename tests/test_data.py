@@ -220,6 +220,39 @@ def test_whole_scene_grid_matches_naive_scan(bs, stride, pad, center):
         np.testing.assert_array_equal(g, w)
 
 
+@pytest.mark.parametrize(
+    "bs,stride,center",
+    [(4.0, 2.0, True), (8.0, 6.0, False)],
+)
+def test_whole_scene_grid_indices_reconstructs_blocks(bs, stride, center):
+    """The indices-only grid path (device-gather streaming) must select the
+    same blocks bit-for-bit: identical idx/weights, and gathering
+    scene_feature_table rows + subtracting the per-block centers must
+    reproduce the assembled 9-channel data exactly."""
+    from pointcloud_bridge_tpu.data.blocks import (
+        scene_feature_table,
+        whole_scene_grid_indices,
+    )
+
+    xyz, rgb, labels = toy_bridge_scene(6000, seed=7)
+    pts6 = np.concatenate([xyz, rgb], axis=1).astype(np.float32)
+    lw = scene_labelweights([labels], 5)
+    kw = dict(
+        block_points=512, block_size=bs, stride=stride, center_xy=center,
+        seed=3,
+    )
+    data, _, wts, idxs = whole_scene_grid_blocks(pts6, labels, lw, **kw)
+    idxs2, wts2, centers = whole_scene_grid_indices(pts6, labels, lw, **kw)
+    np.testing.assert_array_equal(idxs, idxs2)
+    np.testing.assert_array_equal(wts, wts2)
+    rec = scene_feature_table(pts6)[idxs2]
+    rec[:, :, 0] -= centers[:, 0:1]
+    rec[:, :, 1] -= centers[:, 1:2]
+    np.testing.assert_array_equal(rec, data)
+    if not center:
+        assert not centers.any()
+
+
 def test_scene_labelweights_ordering():
     labels = np.concatenate([np.zeros(1000), np.ones(10)]).astype(int)
     w = scene_labelweights([labels], 2)

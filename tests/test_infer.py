@@ -114,6 +114,26 @@ def test_whole_scene_vote_normalized_contract(trained):
     assert res["metrics"]["OA"] > 0.55
 
 
+def test_whole_scene_vote_device_gather_matches_host_path(trained):
+    """Index-streaming vote inference (scene table gathered on device) must
+    be bit-identical to the host block-assembly path."""
+    model, variables, (xyz, rgb, labels), _ = trained
+    pts6 = np.concatenate([xyz, rgb], axis=1)
+    lw = scene_labelweights([labels], 5)
+    kw = dict(
+        num_classes=5, block_points=256, block_size=6.0, stride=3.0,
+        num_votes=2, batch_size=8,
+    )
+    host = whole_scene_vote_predict(
+        model, variables, pts6, labels, lw, device_gather=False, **kw
+    )
+    dev = whole_scene_vote_predict(
+        model, variables, pts6, labels, lw, device_gather=True, **kw
+    )
+    np.testing.assert_array_equal(host["pred"], dev["pred"])
+    np.testing.assert_array_equal(host["vote_pool"], dev["vote_pool"])
+
+
 def test_whole_scene_vote_sharded_matches_single_device(trained):
     """Mesh-sharded vote inference (blocks axis over the 8-device CPU mesh)
     must produce identical predictions to the single-device path."""
