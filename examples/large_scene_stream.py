@@ -75,12 +75,13 @@ def main():
     bs_norm = 8.0 / radius
     stride_norm = 0.75 * bs_norm
 
-    # warm-up: compile the batch forward on a small scene first
-    small6 = points6[:200_000]
+    # warm-up: compile the gather+forward executable for THIS scene's table
+    # bucket (the table length is baked into the jitted gather) by gridding
+    # the full scene at a sparse stride — a handful of blocks, same shapes
     whole_scene_vote_predict(
-        model, variables, small6, labels[:200_000], np.ones(num_classes),
+        model, variables, points6, labels, np.ones(num_classes),
         num_classes, block_points=block_points, block_size=bs_norm,
-        stride=stride_norm, num_votes=1, batch_size=32, normalize_scene=True,
+        stride=8 * bs_norm, num_votes=1, batch_size=32, normalize_scene=True,
     )
 
     t0 = time.time()

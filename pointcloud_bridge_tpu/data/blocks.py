@@ -371,6 +371,45 @@ def _grid_cell_members(
         yield int(cell_s[b]), pt_s[b : bounds[k + 1]]
 
 
+def precompute_grid_cells(
+    points6: np.ndarray,
+    block_size: float,
+    stride: float,
+    padding: float = 0.001,
+):
+    """Materialize the (seed-independent) sliding-grid cell membership.
+
+    The expensive half of whole-scene gridding — window binning, pair
+    expansion, stable grouping (~19 of 20.5 s per 5M-point pass) — depends
+    only on the geometry, not on the vote seed. K-vote inference computes it
+    once and passes the handle to every per-vote grid call, leaving only the
+    per-vote rng pad-resampling + shuffle (bit-identical results either way).
+
+    Returns an opaque handle for the `cells=` argument of
+    whole_scene_grid_blocks / whole_scene_grid_indices.
+    """
+    points6 = np.ascontiguousarray(points6, dtype=np.float32)
+    coord_min = points6[:, :3].min(axis=0)
+    coord_max = points6[:, :3].max(axis=0)
+    grid_x = int(np.ceil((coord_max[0] - coord_min[0] - block_size) / stride) + 1)
+    grid_y = int(np.ceil((coord_max[1] - coord_min[1] - block_size) / stride) + 1)
+    grid_x, grid_y = max(grid_x, 1), max(grid_y, 1)
+    members = list(
+        _grid_cell_members(
+            points6, coord_min, coord_max, grid_x, grid_y, block_size,
+            stride, padding,
+        )
+    )
+    return {
+        "members": members,
+        "points6": points6,
+        "coord_min": coord_min,
+        "coord_max": coord_max,
+        "grid_x": grid_x,
+        "key": (block_size, stride, padding, points6.shape),
+    }
+
+
 def _grid_block_pids(
     points6: np.ndarray,
     block_points: int,
@@ -378,6 +417,7 @@ def _grid_block_pids(
     stride: float,
     padding: float,
     seed: int,
+    cells=None,
 ):
     """Shared cell -> shuffled-point-id selection for the whole-scene grid.
 
@@ -388,21 +428,26 @@ def _grid_block_pids(
     path subtracts when center_xy. The rng call sequence (one choice + one
     shuffle per nonempty cell, ascending cell order) is the contract that
     keeps whole_scene_grid_blocks and whole_scene_grid_indices bit-identical
-    at the same seed.
+    at the same seed. `cells` (precompute_grid_cells) skips the
+    seed-independent membership pass.
     """
     rng = np.random.default_rng(seed)
-    points6 = np.ascontiguousarray(points6, dtype=np.float32)
-    coord_min = points6[:, :3].min(axis=0)
-    coord_max = points6[:, :3].max(axis=0)
-    grid_x = int(np.ceil((coord_max[0] - coord_min[0] - block_size) / stride) + 1)
-    grid_y = int(np.ceil((coord_max[1] - coord_min[1] - block_size) / stride) + 1)
-    grid_x, grid_y = max(grid_x, 1), max(grid_y, 1)
+    if cells is None:
+        cells = precompute_grid_cells(points6, block_size, stride, padding)
+    else:
+        expect = (block_size, stride, padding, np.shape(points6))
+        if cells["key"] != expect:
+            raise ValueError(
+                f"precomputed grid cells were built for {cells['key']}, "
+                f"called with {expect}"
+            )
+    points6 = cells["points6"]
+    coord_min = cells["coord_min"]
+    coord_max = cells["coord_max"]
+    grid_x = cells["grid_x"]
 
     blocks = []
-    for cell_id, pid in _grid_cell_members(
-        points6, coord_min, coord_max, grid_x, grid_y, block_size, stride,
-        padding,
-    ):
+    for cell_id, pid in cells["members"]:
         target = int(np.ceil(pid.size / block_points)) * block_points
         iy, ix = divmod(cell_id, grid_x)
         s_x = coord_min[0] + ix * stride
@@ -457,20 +502,22 @@ def whole_scene_grid_indices(
     padding: float = 0.001,
     center_xy: bool = True,
     seed: int = 0,
+    cells=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Indices-only whole_scene_grid_blocks: the same grid coverage and the
     same pad-resampling rng (idxs are bit-identical at equal seeds), but no
     [nb, P, 9] block tensor is materialized — callers gather rows of
     scene_feature_table() on the device instead (6x less host->device
     traffic, and the dominant host cost of the gridding pass — ~160 MB of
-    gather+write per 1M-point vote — disappears).
+    gather+write per 1M-point vote — disappears). `cells` (a
+    precompute_grid_cells handle) reuses the seed-independent membership.
 
     Returns (idxs [nb, P] int64, weights [nb, P] f32, centers [nb, 2] f32);
     centers are the XY offsets to subtract from gathered coordinates
     (zeros when center_xy=False).
     """
     blocks, _, _, _ = _grid_block_pids(
-        points6, block_points, block_size, stride, padding, seed
+        points6, block_points, block_size, stride, padding, seed, cells
     )
     if not blocks:
         return (
@@ -509,6 +556,7 @@ def whole_scene_grid_blocks(
     padding: float = 0.001,
     center_xy: bool = True,
     seed: int = 0,
+    cells=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Deterministic sliding-grid coverage of a whole scene
     (BridgeDataLoader.py:214-277). center_xy=False keeps the scene
@@ -527,7 +575,7 @@ def whole_scene_grid_blocks(
     # astype) costs minutes at 5M points; filling f32 outputs in place with
     # reused scratch buffers touches each output byte exactly once.
     blocks, points6, coord_min, coord_max = _grid_block_pids(
-        points6, block_points, block_size, stride, padding, seed
+        points6, block_points, block_size, stride, padding, seed, cells
     )
     if not blocks:
         return (

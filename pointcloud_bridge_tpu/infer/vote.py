@@ -7,9 +7,12 @@ class votes weighted by labelweight are accumulated at the ORIGINAL point
 indices; the final label is the argmax of the vote pool.
 
 TPU-first delta: the reference's Python triple loop add_vote
-(test_sem_seg.py:58-65) is a single np.add.at scatter per scene (the scatter
-is host-side because scene sizes are ragged; the model forward stays on
-device with fixed [B, P] shapes).
+(test_sem_seg.py:58-65) is one np.bincount scatter per vote (host-side
+because scene sizes are ragged; the model forward stays on device with
+fixed [B, P] shapes). The default device_gather path uploads the scene's
+per-point feature table once and streams only int32 block indices per vote;
+the next vote's host gridding runs on a background thread under the current
+vote's device compute + fetch.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.blocks import (
+    precompute_grid_cells,
     scene_feature_table,
     whole_scene_grid_blocks,
     whole_scene_grid_indices,
@@ -97,22 +101,35 @@ def whole_scene_vote_predict(
         repl_sh = NamedSharding(mesh, P())
         variables = jax.device_put(variables, repl_sh)
 
+    # predictions cross the (slow) host link as uint8 when classes fit —
+    # 4x less D2H traffic than int32 at zero information loss
+    pred_dtype = jnp.uint8 if num_classes <= 255 else jnp.int32
+
     def _predict(xyz, feats):
         if data_sh is not None:
             xyz = jax.lax.with_sharding_constraint(xyz, data_sh)
             feats = jax.lax.with_sharding_constraint(feats, data_sh)
         logits = model.apply(variables, xyz, feats, train=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(pred_dtype)
 
     @jax.jit
     def forward(xyz, feats):
         return _predict(xyz, feats)
 
     @jax.jit
-    def forward_idx(table, idx, centers):
-        # Gather the block rows on device ([B, P] rows of the scene table;
-        # XLA's hardware row gather) and apply the per-block XY centering —
-        # reproduces whole_scene_grid_blocks' host assembly bit-for-bit.
+    def forward_idx(table, all_idx, all_centers, start):
+        # Slice batch `start` out of the vote's device-resident index array
+        # (dynamic_slice on a RUNTIME scalar: one executable for every
+        # batch — python-slicing idx_dev[s:e] instead bakes each (s, e)
+        # into a distinct tiny executable, and each of those pays a remote
+        # compile round trip on this relay), gather the block rows ([B, P]
+        # rows of the scene table; XLA's hardware row gather) and apply the
+        # per-block XY centering — reproduces whole_scene_grid_blocks'
+        # host assembly bit-for-bit.
+        idx = jax.lax.dynamic_slice_in_dim(all_idx, start, batch_size, 0)
+        centers = jax.lax.dynamic_slice_in_dim(
+            all_centers, start, batch_size, 0
+        )
         if data_sh is not None:
             idx = jax.lax.with_sharding_constraint(idx, data_sh)
             centers = jax.lax.with_sharding_constraint(centers, data_sh)
@@ -127,20 +144,34 @@ def whole_scene_vote_predict(
             feats = g[..., 3:6]
         return _predict(xyz, feats)
 
-    table_dev = None
-    if device_gather:
+    def _build_table():
         ncols = 9 if feature_mode == "nine" else 6
-        table = scene_feature_table(points6)[:, :ncols]
-        table_dev = jnp.asarray(np.ascontiguousarray(table))
+        table = np.ascontiguousarray(scene_feature_table(points6)[:, :ncols])
+        # Bucket the table length (zero-row padding; gathered indices are
+        # always < n) so the compiled executable is reused across scene
+        # sizes — the row count is baked into the jitted gather, and a
+        # fresh remote compile costs minutes on this relay. Small scenes
+        # bucket to powers of two, large ones to 1M-row steps.
+        n_rows = len(table)
+        if n_rows >= (1 << 20):
+            bucket = -(-n_rows // (1 << 20)) * (1 << 20)
+        else:
+            bucket = 1 << max(n_rows - 1, 1).bit_length()
+        if bucket > n_rows:
+            table = np.concatenate(
+                [table, np.zeros((bucket - n_rows, ncols), np.float32)]
+            )
+        dev = jnp.asarray(table)
         if repl_sh is not None:
-            table_dev = jax.device_put(table_dev, repl_sh)
+            dev = jax.device_put(dev, repl_sh)
+        return dev
 
-    # Per-vote pipeline: all of a vote's forward batches are DISPATCHED
-    # (async, jax enqueues) and concatenated on device, but the single
-    # blocking fetch is deferred until after the NEXT vote's host gridding —
-    # device compute rides under host work, and the whole vote's predictions
-    # cross the relay in one transfer instead of one ~RTT-bound round trip
-    # per batch (152 fetches -> 1 at 1M pts / B=4; ~6.1 s -> ~0.8 s).
+    # Per-vote pipeline: a vote's forward batches are all DISPATCHED (async,
+    # jax enqueues) and concatenated on device; the vote's single blocking
+    # fetch then overlaps (a) device compute and (b) the NEXT vote's host
+    # gridding, which runs on a background thread (numpy releases the GIL).
+    # The vote scatter is one np.bincount on flattened (point, class) keys —
+    # np.add.at is an order of magnitude slower on multi-M updates.
     #
     # CPU-mesh exception: the virtual multi-device CPU backend runs
     # collectives through an in-process rendezvous; concurrently enqueued
@@ -150,17 +181,14 @@ def whole_scene_vote_predict(
     # SIGABRT in AllGatherThunk under tests). Real TPUs serialize dispatch
     # per core, so only the CPU+mesh combination must run synchronously.
     sync_dispatch = mesh is not None and jax.default_backend() == "cpu"
-    pending = []  # [(device preds [nb,P], idxs, weights, nb)]
+    flat_pool = vote_pool.reshape(-1)
 
-    def drain():
-        for preds_dev, idxs, weights, nb in pending:
-            preds = np.asarray(preds_dev)[:nb]
-            np.add.at(
-                vote_pool,
-                (idxs.reshape(-1), preds.reshape(-1)),
-                weights.reshape(-1),
-            )
-        pending.clear()
+    def scatter(preds_dev, idxs, weights, nb):
+        preds = np.asarray(preds_dev)[:nb]
+        flat = idxs.reshape(-1) * num_classes + preds.reshape(-1)
+        flat_pool[:] += np.bincount(
+            flat, weights=weights.reshape(-1), minlength=flat_pool.size
+        )
 
     def _pad_batch(a, s, e):
         part = a[s:e]
@@ -176,49 +204,87 @@ def whole_scene_vote_predict(
         stride=stride,
         center_xy=not normalize_scene,
     )
-    for vote in range(num_votes):
+
+    cells = [None]  # geometry-only membership, computed once (vote 0)
+
+    def _grid(vote):
+        if cells[0] is None:
+            cells[0] = precompute_grid_cells(
+                points6, block_size, stride, padding=0.001
+            )
         vote_seed = seed + vote * 1009
         if device_gather:
-            idxs, weights, centers = whole_scene_grid_indices(
-                points6, labels, labelweights, seed=vote_seed, **grid_kw
+            return whole_scene_grid_indices(
+                points6, labels, labelweights, seed=vote_seed,
+                cells=cells[0], **grid_kw
             )
-            nb = len(idxs)
-        else:
-            data, _, weights, idxs = whole_scene_grid_blocks(
-                points6, labels, labelweights, seed=vote_seed, **grid_kw
-            )
-            nb = len(data)
-        if nb == 0:
-            continue
-        preds_parts = []
-        for s in range(0, nb, batch_size):
-            e = min(s + batch_size, nb)
-            if device_gather:
-                idx_b = jnp.asarray(
-                    _pad_batch(idxs, s, e).astype(np.int32)
-                )
-                ctr_b = jnp.asarray(_pad_batch(centers, s, e))
-                preds_parts.append(forward_idx(table_dev, idx_b, ctr_b))
-            else:
-                chunk = _pad_batch(data, s, e)
-                xyz = jnp.asarray(chunk[:, :, :3])
-                if feature_mode == "nine":
-                    feats = jnp.asarray(chunk)
-                else:
-                    feats = jnp.asarray(chunk[:, :, 3:6])
-                preds_parts.append(forward(xyz, feats))
-            if sync_dispatch:
-                preds_parts[-1].block_until_ready()
-        allp = (
-            preds_parts[0]
-            if len(preds_parts) == 1
-            else _concat_parts(*preds_parts)
+        return whole_scene_grid_blocks(
+            points6, labels, labelweights, seed=vote_seed, cells=cells[0],
+            **grid_kw
         )
-        pending.append((allp, idxs, weights, nb))
-        if sync_dispatch:
-            drain()
 
-    drain()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as gridder:
+        # vote 0's gridding overlaps the table build + upload below
+        fut = gridder.submit(_grid, 0)
+        table_dev = _build_table() if device_gather else None
+        for vote in range(num_votes):
+            got = fut.result()
+            if vote + 1 < num_votes:
+                fut = gridder.submit(_grid, vote + 1)
+            if device_gather:
+                idxs, weights, centers = got
+                nb = len(idxs)
+            else:
+                data, _, weights, idxs = got
+                nb = len(data)
+            if nb == 0:
+                continue
+            preds_parts = []
+            if device_gather:
+                # ONE H2D transfer per vote: per-batch feeds are ~0.5 MB of
+                # indices and the link is round-trip-bound, so 2 transfers
+                # per batch cost more than one bulk upload (measured 5.5 ->
+                # ~2 s/vote at 5M pts); batches are then device-side slices,
+                # which dispatch asynchronously.
+                nbp = ((nb + batch_size - 1) // batch_size) * batch_size
+                idxs_p, ctrs_p = idxs, centers
+                if nbp > nb:
+                    idxs_p = np.concatenate(
+                        [idxs, np.repeat(idxs[-1:], nbp - nb, 0)]
+                    )
+                    ctrs_p = np.concatenate(
+                        [centers, np.repeat(centers[-1:], nbp - nb, 0)]
+                    )
+                idx_dev = jnp.asarray(idxs_p.astype(np.int32))
+                ctr_dev = jnp.asarray(np.ascontiguousarray(ctrs_p))
+                for s in range(0, nbp, batch_size):
+                    preds_parts.append(
+                        forward_idx(
+                            table_dev, idx_dev, ctr_dev, np.int32(s)
+                        )
+                    )
+                    if sync_dispatch:
+                        preds_parts[-1].block_until_ready()
+            else:
+                for s in range(0, nb, batch_size):
+                    e = min(s + batch_size, nb)
+                    chunk = _pad_batch(data, s, e)
+                    xyz = jnp.asarray(chunk[:, :, :3])
+                    if feature_mode == "nine":
+                        feats = jnp.asarray(chunk)
+                    else:
+                        feats = jnp.asarray(chunk[:, :, 3:6])
+                    preds_parts.append(forward(xyz, feats))
+                    if sync_dispatch:
+                        preds_parts[-1].block_until_ready()
+            allp = (
+                preds_parts[0]
+                if len(preds_parts) == 1
+                else _concat_parts(*preds_parts)
+            )
+            scatter(allp, idxs, weights, nb)
     pred = vote_pool.argmax(axis=1).astype(np.int32)
     cm = np.asarray(
         M.confusion_matrix(jnp.asarray(pred), jnp.asarray(labels.astype(np.int32)), num_classes)

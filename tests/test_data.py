@@ -252,6 +252,23 @@ def test_whole_scene_grid_indices_reconstructs_blocks(bs, stride, center):
     if not center:
         assert not centers.any()
 
+    # reusing a precomputed cell-membership handle must be bit-identical
+    # (and must not be mutated by the per-vote rng resampling)
+    from pointcloud_bridge_tpu.data.blocks import precompute_grid_cells
+
+    cells = precompute_grid_cells(pts6, bs, stride)
+    for s in (3, 4):
+        a = whole_scene_grid_indices(pts6, labels, lw, **{**kw, "seed": s})
+        b = whole_scene_grid_indices(
+            pts6, labels, lw, cells=cells, **{**kw, "seed": s}
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    with pytest.raises(ValueError):
+        whole_scene_grid_indices(
+            pts6, labels, lw, cells=cells, **{**kw, "block_size": bs * 2}
+        )
+
 
 def test_scene_labelweights_ordering():
     labels = np.concatenate([np.zeros(1000), np.ones(10)]).astype(int)
