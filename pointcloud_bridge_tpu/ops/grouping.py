@@ -73,14 +73,20 @@ def _eager_off_tpu(*arrays) -> bool:
 _BALLQ_N_MAX = 8192
 
 
-def _ballq_pallas_wanted(approx: bool | None, n: int, s: int) -> bool:
+def _ballq_pallas_wanted(
+    approx: bool | None, n: int, s: int, nsample: int = 32
+) -> bool:
     """The fused Pallas ball query (pallas_kernels/ballq.py) is EXACT and
     never materializes the [B, S, N] distance matrix. Measured on v5e vs the
     XLA paths: 14-18x faster than exact top_k at every shape, and faster
     than approx_max_k below ~512 query centers (0.011 vs 0.030 ms at
-    S=256/N=1024); at S=1024/N=4096 the hardware approx top-k is ~2x
-    cheaper, so auto mode keeps it there. PCB_BALLQ_PALLAS=0 disables,
-    =1 forces it (still subject to the VMEM N cap)."""
+    S=256/N=1024); at S=1024/N=4096 the kernel's cost scales with nsample
+    (selection iterations), so it still wins at k<=16 (0.226 vs 0.275 ms)
+    but loses ~2x at k=32 — auto mode keeps approx there. (A dual-radius
+    kernel sharing one distance tile was sized up and rejected: the k=32
+    selection dominates, so the shared distance saves < the k=32 loss.)
+    PCB_BALLQ_PALLAS=0 disables, =1 forces it (still subject to the VMEM
+    N cap)."""
     import os
 
     if jax.default_backend() != "tpu" or n < 2 or s < 2:
@@ -92,7 +98,7 @@ def _ballq_pallas_wanted(approx: bool | None, n: int, s: int) -> bool:
         return flag not in ("0", "false", "")
     if approx is False:
         return True  # exact request: beats top_k's full sort everywhere
-    return s <= 512
+    return s <= 512 or (s <= 1024 and nsample <= 16)
 
 
 def query_ball_point(
@@ -120,7 +126,9 @@ def query_ball_point(
     """
     n = xyz.shape[1]
     s = new_xyz.shape[1]
-    if _ballq_pallas_wanted(approx, n, s) and not _eager_off_tpu(xyz, new_xyz):
+    if _ballq_pallas_wanted(approx, n, s, nsample) and not _eager_off_tpu(
+        xyz, new_xyz
+    ):
         from .pallas_kernels.ballq import ball_query_pallas
 
         return ball_query_pallas(radius, nsample, xyz, new_xyz)
