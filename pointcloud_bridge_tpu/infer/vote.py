@@ -183,8 +183,12 @@ def whole_scene_vote_predict(
     sync_dispatch = mesh is not None and jax.default_backend() == "cpu"
     flat_pool = vote_pool.reshape(-1)
 
-    def scatter(preds_dev, idxs, weights, nb):
-        preds = np.asarray(preds_dev)[:nb]
+    def scatter(parts, idxs, weights, nb):
+        # parts: [(device preds [k*B, P], real_rows)] — fetched here, one
+        # blocking D2H per chunk, then a single bincount for the vote
+        preds = np.concatenate(
+            [np.asarray(p)[:rows] for p, rows in parts]
+        )[:nb]
         flat = idxs.reshape(-1) * num_classes + preds.reshape(-1)
         flat_pool[:] += np.bincount(
             flat, weights=weights.reshape(-1), minlength=flat_pool.size
@@ -243,30 +247,40 @@ def whole_scene_vote_predict(
                 continue
             preds_parts = []
             if device_gather:
-                # ONE H2D transfer per vote: per-batch feeds are ~0.5 MB of
-                # indices and the link is round-trip-bound, so 2 transfers
-                # per batch cost more than one bulk upload (measured 5.5 ->
-                # ~2 s/vote at 5M pts); batches are then device-side slices,
-                # which dispatch asynchronously.
-                nbp = ((nb + batch_size - 1) // batch_size) * batch_size
-                idxs_p, ctrs_p = idxs, centers
-                if nbp > nb:
-                    idxs_p = np.concatenate(
-                        [idxs, np.repeat(idxs[-1:], nbp - nb, 0)]
-                    )
-                    ctrs_p = np.concatenate(
-                        [centers, np.repeat(centers[-1:], nbp - nb, 0)]
-                    )
-                idx_dev = jnp.asarray(idxs_p.astype(np.int32))
-                ctr_dev = jnp.asarray(np.ascontiguousarray(ctrs_p))
-                for s in range(0, nbp, batch_size):
-                    preds_parts.append(
-                        forward_idx(
-                            table_dev, idx_dev, ctr_dev, np.int32(s)
+                # Indices go up in FIXED-SIZE chunks of 16 batches: per-batch
+                # feeds are ~0.5 MB and the link is round-trip-bound
+                # (measured 5.5 -> ~2 s/vote at 5M pts for bulk), while a
+                # whole-vote upload would bake the scene's block count into
+                # the executable shapes and recompile per scene (minutes on
+                # this relay). Chunked uploads keep every executable
+                # shape-stable; batches are device-side dynamic slices and
+                # dispatch asynchronously.
+                chunk_rows = 16 * batch_size
+                for cs in range(0, nb, chunk_rows):
+                    ce = min(cs + chunk_rows, nb)
+                    ci = idxs[cs:ce].astype(np.int32)
+                    cc = centers[cs:ce]
+                    if ce - cs < chunk_rows:  # pad to the fixed chunk shape
+                        pad = chunk_rows - (ce - cs)
+                        ci = np.concatenate([ci, np.repeat(ci[-1:], pad, 0)])
+                        cc = np.concatenate([cc, np.repeat(cc[-1:], pad, 0)])
+                    idx_dev = jnp.asarray(ci)
+                    ctr_dev = jnp.asarray(np.ascontiguousarray(cc))
+                    cparts = []
+                    for s in range(0, ce - cs, batch_size):
+                        cparts.append(
+                            forward_idx(
+                                table_dev, idx_dev, ctr_dev, np.int32(s)
+                            )
                         )
+                        if sync_dispatch:
+                            cparts[-1].block_until_ready()
+                    cpred = (
+                        cparts[0]
+                        if len(cparts) == 1
+                        else _concat_parts(*cparts)
                     )
-                    if sync_dispatch:
-                        preds_parts[-1].block_until_ready()
+                    preds_parts.append((cpred, ce - cs))
             else:
                 for s in range(0, nb, batch_size):
                     e = min(s + batch_size, nb)
@@ -276,15 +290,10 @@ def whole_scene_vote_predict(
                         feats = jnp.asarray(chunk)
                     else:
                         feats = jnp.asarray(chunk[:, :, 3:6])
-                    preds_parts.append(forward(xyz, feats))
+                    preds_parts.append((forward(xyz, feats), e - s))
                     if sync_dispatch:
-                        preds_parts[-1].block_until_ready()
-            allp = (
-                preds_parts[0]
-                if len(preds_parts) == 1
-                else _concat_parts(*preds_parts)
-            )
-            scatter(allp, idxs, weights, nb)
+                        preds_parts[-1][0].block_until_ready()
+            scatter(preds_parts, idxs, weights, nb)
     pred = vote_pool.argmax(axis=1).astype(np.int32)
     cm = np.asarray(
         M.confusion_matrix(jnp.asarray(pred), jnp.asarray(labels.astype(np.int32)), num_classes)
