@@ -134,6 +134,34 @@ def test_whole_scene_vote_device_gather_matches_host_path(trained):
     np.testing.assert_array_equal(host["vote_pool"], dev["vote_pool"])
 
 
+def test_whole_scene_vote_nine_mode_device_gather(trained):
+    """The Partsize 9-channel vote contract (feature_mode='nine',
+    test_sem_seg.py feed) through the device-gather path must match the
+    host-assembly path bit-for-bit."""
+    _, _, (xyz, rgb, labels), _ = trained
+    model = get_model("pointnet_sem_seg", num_classes=5)
+    pts6 = np.concatenate([xyz, rgb], axis=1)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 256, 3), np.float32),
+        np.zeros((1, 256, 9), np.float32),
+        train=False,
+    )
+    lw = scene_labelweights([labels], 5)
+    kw = dict(
+        num_classes=5, block_points=256, block_size=6.0, stride=3.0,
+        num_votes=1, batch_size=8, feature_mode="nine",
+    )
+    host = whole_scene_vote_predict(
+        model, variables, pts6, labels, lw, device_gather=False, **kw
+    )
+    dev = whole_scene_vote_predict(
+        model, variables, pts6, labels, lw, device_gather=True, **kw
+    )
+    np.testing.assert_array_equal(host["pred"], dev["pred"])
+    np.testing.assert_array_equal(host["vote_pool"], dev["vote_pool"])
+
+
 def test_whole_scene_vote_sharded_matches_single_device(trained):
     """Mesh-sharded vote inference (blocks axis over the 8-device CPU mesh)
     must produce identical predictions to the single-device path."""
