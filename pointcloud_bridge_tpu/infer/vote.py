@@ -282,6 +282,19 @@ def whole_scene_vote_predict(
                     )
                     preds_parts.append((cpred, ce - cs))
             else:
+                cparts, crows = [], 0
+
+                def _flush():
+                    nonlocal cparts, crows
+                    if cparts:
+                        cpred = (
+                            cparts[0]
+                            if len(cparts) == 1
+                            else _concat_parts(*cparts)
+                        )
+                        preds_parts.append((cpred, crows))
+                        cparts, crows = [], 0
+
                 for s in range(0, nb, batch_size):
                     e = min(s + batch_size, nb)
                     chunk = _pad_batch(data, s, e)
@@ -290,9 +303,13 @@ def whole_scene_vote_predict(
                         feats = jnp.asarray(chunk)
                     else:
                         feats = jnp.asarray(chunk[:, :, 3:6])
-                    preds_parts.append((forward(xyz, feats), e - s))
+                    cparts.append(forward(xyz, feats))
+                    crows += e - s
                     if sync_dispatch:
-                        preds_parts[-1][0].block_until_ready()
+                        cparts[-1].block_until_ready()
+                    if len(cparts) == 16:  # bound concat arity + fetch count
+                        _flush()
+                _flush()
             scatter(preds_parts, idxs, weights, nb)
     pred = vote_pool.argmax(axis=1).astype(np.int32)
     cm = np.asarray(
