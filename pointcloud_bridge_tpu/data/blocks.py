@@ -339,11 +339,17 @@ def _grid_cell_members(
     total = int(cnt.sum())
     if total == 0:
         return
+    # int32 throughout the 13M-pair expansion (total and cell ids both fit):
+    # every int64 temporary here is ~100 MB of extra page-faulted writes on
+    # this host. Only fall back to int64 when the pair count or the cell-id
+    # range genuinely overflows.
+    i32 = total < 2**31 - 1 and grid_x * grid_y < 2**31 - 1
+    idt = np.int32 if i32 else np.int64
     pt = np.repeat(np.arange(n, dtype=np.int32), cnt)
-    starts = np.cumsum(cnt) - cnt
-    off = (np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)).astype(
-        np.int32
-    )
+    starts = (np.cumsum(cnt) - cnt).astype(idt)
+    off = np.arange(total, dtype=idt)
+    off -= np.repeat(starts, cnt)
+    off = off.astype(np.int32, copy=False)
     del starts
     cxr = cx[pt]
     jx = ix_lo[pt]
@@ -351,7 +357,7 @@ def _grid_cell_members(
     jy = iy_lo[pt]
     jy += off // cxr
     del off, cxr, ix_lo, ix_hi, iy_lo, iy_hi, cx, cy
-    cell = jy.astype(np.int64)
+    cell = jy.astype(idt)
     cell *= grid_x
     cell += jx
     del jx, jy
@@ -359,7 +365,7 @@ def _grid_cell_members(
     # keeps them ascending within each cell (matches np.where order)
     order = np.argsort(cell, kind="stable")
     cell_s = cell[order]
-    pt_s = pt[order].astype(np.int64)
+    pt_s = pt[order]  # int32 point ids: every consumer is value-based
     del pt, cell, order
     # group boundaries: cell_s is sorted, so run breaks mark the cells
     breaks = np.flatnonzero(cell_s[1:] != cell_s[:-1]) + 1
