@@ -312,8 +312,15 @@ def whole_scene_vote_predict(
                 _flush()
             scatter(preds_parts, idxs, weights, nb)
     pred = vote_pool.argmax(axis=1).astype(np.int32)
-    cm = np.asarray(
-        M.confusion_matrix(jnp.asarray(pred), jnp.asarray(labels.astype(np.int32)), num_classes)
+    # host bincount: identical integer counts to the device confusion
+    # matrix without shipping two [N] arrays across the link
+    cm = (
+        np.bincount(
+            labels.astype(np.int64) * num_classes + pred,
+            minlength=num_classes * num_classes,
+        )
+        .reshape(num_classes, num_classes)
+        .astype(np.int64)
     )
     return {
         "pred": pred,
