@@ -531,7 +531,6 @@ def whole_scene_grid_indices(
             np.zeros((0, block_points), np.float32),
             np.zeros((0, 2), np.float32),
         )
-    labels = np.ascontiguousarray(labels, dtype=np.int64)
     total_rows = sum(len(pid) for pid, _, _ in blocks)
     nb = total_rows // block_points
     idx = np.empty(total_rows, np.int64)
@@ -543,8 +542,10 @@ def whole_scene_grid_indices(
             b0 = s // block_points
             centers[b0 : b0 + len(pid) // block_points] = (cx, cy)
         s += len(pid)
-    lab = labels[idx]
-    wt = labelweights[lab].astype(np.float32, copy=False)
+    # one gather instead of two: per-point weights [N] first (vote weights
+    # depend on idx only through the label), then a single [total] gather
+    pw = np.asarray(labelweights, np.float32)[np.asarray(labels, np.int64)]
+    wt = pw[idx]
     return (
         idx.reshape(-1, block_points),
         wt.reshape(-1, block_points),
