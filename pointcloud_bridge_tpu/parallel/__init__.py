@@ -21,9 +21,25 @@ from .sharding import (
 )
 from .ring import ring_attention
 from .sp import make_sp_forward, make_sp_train_step
+from .pp import (
+    make_pp_forward,
+    make_pp_state,
+    make_pp_train_step,
+    pp_place_state,
+    pp_state_specs,
+    stack_ptv3_params,
+    unstack_ptv3_params,
+)
 
 __all__ = [
     "ring_attention",
+    "make_pp_forward",
+    "make_pp_state",
+    "make_pp_train_step",
+    "pp_place_state",
+    "pp_state_specs",
+    "stack_ptv3_params",
+    "unstack_ptv3_params",
     "make_sp_forward",
     "make_sp_train_step",
     "make_mesh",

@@ -1,0 +1,355 @@
+"""Pipeline parallelism (PP) for PointTransformerV3 over a `pp` mesh axis.
+
+SURVEY §2.9 stretch row: the reference is single-GPU, but a 12-block
+transformer is the one model in the zoo deep enough to pipeline. Blocks are
+homogeneous (same dim/heads at every depth — models/ptv3.py), so the stack
+partitions cleanly: stage s of P holds blocks [s*L/P, (s+1)*L/P) with their
+parameters (and Adam moments) STAGE-SHARDED over the mesh — per-device
+parameter + optimizer memory for the trunk drops by P, which is the actual
+reason to pipeline (activations already shard via DP/SP).
+
+Schedule: GPipe over M microbatches (jax-idiomatic: a Python-unrolled tick
+loop of M+P-1 steps inside one jit — static control flow, and Pallas kernels
+such as flash attention stay OUT of lax.scan bodies, which mis-compile on
+this stack, CLAUDE.md). Each tick every stage applies its L/P blocks to its
+current activation and `ppermute`s the result one stage to the right; stage 0
+injects microbatch t, stage P-1 collects microbatch t-(P-1). Bubble fraction
+is the standard (P-1)/(M+P-1).
+
+Autodiff runs straight through the ppermutes (they transpose to the reverse
+rotation), so one jax.value_and_grad over the whole schedule yields exact
+pipeline-backward gradients — no hand-written backward pass. Gradient
+scaling: the collected outputs are psum-broadcast so every device computes
+the SAME loss; by the shard_map transpose rules each device's grad is then
+P x its true value for params on the psum'd path (all trunk + embed params),
+while head params (used only replica-locally after the broadcast) get 1x.
+pmean over the axis fixes both at once: stage-local trunk grads are divided
+by P locally (no collective — they live on one stage), replicated-param
+grads are pmean'd (sum / P). Verified against single-device math in
+tests/test_pp.py.
+
+The param tree is the standard PTv3 tree re-grouped as {blocks: stacked
+[depth, ...], rest: ...} — `stack_ptv3_params`/`unstack_ptv3_params` move
+checkpoints freely between PP and single-device layouts.
+
+Embed/head are compute-light (one Dense each vs L attention blocks) and run
+replicated on every device; a latency-optimal serving deployment would pin
+them to the first/last stage, but replication keeps them inside the same
+SPMD program with exact single-device semantics, which is what parity needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..train.loop import TrainState, _loss_fn_for
+
+
+# ---------------------------------------------------------------------------
+# param tree regrouping
+
+
+def stack_ptv3_params(params: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    """{block0..block{L-1}, rest...} -> {'blocks': stacked[L,...], 'rest': {...}}."""
+    params = dict(params)
+    block_trees = [params.pop(f"block{i}") for i in range(depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *block_trees)
+    return {"blocks": stacked, "rest": params}
+
+
+def unstack_ptv3_params(pp_params: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    """Inverse of stack_ptv3_params (checkpoint portability)."""
+    out = dict(pp_params["rest"])
+    for i in range(depth):
+        out[f"block{i}"] = jax.tree.map(lambda x: x[i], pp_params["blocks"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# replicated embed/head applied from bare param subtrees (mirrors
+# models/ptv3.py::PointTransformerV3.__call__ lines 280-345; the oracle tests
+# in tests/test_pp.py pin this against model.apply so the mirror cannot drift)
+
+import flax.linen as nn
+
+from ..models.ptv3 import PointTransformerBlock, morton_code
+
+
+def _dense(p, x, dtype=None):
+    return nn.Dense(p["kernel"].shape[-1], dtype=dtype).apply({"params": p}, x)
+
+
+def _embed(model, rest, xyz, feats):
+    b, n, _ = xyz.shape
+    x = xyz if feats is None else jnp.concatenate([xyz, feats], axis=-1)
+    d = x.shape[-1]
+    if d < model.d_in:
+        x = jnp.concatenate([x, jnp.zeros((b, n, model.d_in - d), x.dtype)], -1)
+    elif d > model.d_in:
+        x = x[..., : model.d_in]
+    inv_order = None
+    if model.window_size:
+        code = morton_code(xyz)
+        order = jnp.argsort(code, axis=1)
+        inv_order = jnp.argsort(order, axis=1)
+        x = jnp.take_along_axis(x, order[..., None], axis=1)
+        xyz = jnp.take_along_axis(xyz, order[..., None], axis=1)
+    x = _dense(rest["patch_embed"], x, model.compute_dtype)
+    x = nn.LayerNorm(epsilon=1e-6).apply(
+        {"params": rest["patch_norm"]}, x.astype(jnp.float32)
+    )
+    pos = _dense(rest["pos_embed"], xyz, model.compute_dtype)
+    if model.stream_dtype:
+        sdt = jnp.dtype(model.stream_dtype)
+        x, pos = x.astype(sdt), pos.astype(sdt)
+    return x, pos, inv_order
+
+
+def _head(model, rest, batch_stats, x, train, rng):
+    x = nn.LayerNorm(epsilon=1e-6).apply(
+        {"params": rest["norm"]}, x.astype(jnp.float32)
+    )
+    x = _dense(rest["head_fc1"], x)
+    bn = nn.BatchNorm(use_running_average=not train, momentum=0.9)
+    bn_vars = {"params": rest["head_bn"], "batch_stats": batch_stats["head_bn"]}
+    if train:
+        x, mut = bn.apply(bn_vars, x, mutable=["batch_stats"])
+        new_bs = dict(batch_stats, head_bn=mut["batch_stats"])
+    else:
+        x, new_bs = bn.apply(bn_vars, x), batch_stats
+    x = nn.relu(x)
+    if train:
+        x = nn.Dropout(model.head_drop_rate, deterministic=False).apply(
+            {}, x, rngs={"dropout": rng}
+        )
+    logits = _dense(rest["head_fc2"], x)
+    return logits, new_bs
+
+
+def _block_module(model) -> PointTransformerBlock:
+    return PointTransformerBlock(
+        model.embed_dim,
+        model.num_heads,
+        model.mlp_ratio,
+        model.qkv_bias,
+        model.drop_rate,
+        model.attn_drop_rate,
+        model.window_size,
+        None,  # sp_axis: PP shards depth, not the point axis
+        model.compute_dtype,
+        model.stream_dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the GPipe tick loop
+
+
+def _pipeline(blk, blocks_local, x_mb, pos_mb, axis, n_stages, train, rng):
+    """x_mb/pos_mb: [M, mb, n, C] microbatches (identical on every device —
+    only stage 0's injection is consumed). Returns [M, mb, n, C] outputs,
+    psum-broadcast from the last stage to all devices."""
+    s = jax.lax.axis_index(axis)
+    m_total = x_mb.shape[0]
+    local = jax.tree.leaves(blocks_local)[0].shape[0]
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    acts = jnp.zeros(x_mb.shape[1:], x_mb.dtype)
+    outs = jnp.zeros_like(x_mb)
+    for t in range(m_total + n_stages - 1):
+        m = t - s  # microbatch this stage works on at tick t (traced)
+        inject = x_mb[min(t, m_total - 1)]  # static index: stage 0 has m == t
+        x_in = jnp.where(s == 0, inject, acts)
+        pos_t = jax.lax.dynamic_index_in_dim(
+            pos_mb, jnp.clip(m, 0, m_total - 1), 0, keepdims=False
+        )
+        y = x_in
+        for i in range(local):
+            p_i = jax.tree.map(lambda a: a[i], blocks_local)
+            kw = {}
+            if train:
+                kw["rngs"] = {
+                    "dropout": jax.random.fold_in(rng, (t * local + i) * n_stages + s)
+                }
+            y = blk.apply({"params": p_i}, y, pos_t, train, **kw)
+        valid = (m >= 0) & (m < m_total)
+        y = jnp.where(valid, y, jnp.zeros_like(y))
+        om = t - (n_stages - 1)  # static: the microbatch stage P-1 just finished
+        if 0 <= om < m_total:
+            outs = jnp.where(s == n_stages - 1, outs.at[om].set(y), outs)
+        if t < m_total + n_stages - 2:
+            acts = jax.lax.ppermute(y, axis, perm)
+    return jax.lax.psum(
+        jnp.where(s == n_stages - 1, outs, jnp.zeros_like(outs)), axis
+    )
+
+
+def _split_mb(x, m):
+    b = x.shape[0]
+    if b % m:
+        raise ValueError(f"batch {b} not divisible by num_microbatches {m}")
+    return x.reshape(m, b // m, *x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def make_pp_forward(model, mesh: Mesh, axis: str = "pp",
+                    num_microbatches: Optional[int] = None):
+    """jit'd eval forward: trunk block params stage-sharded over `axis`,
+    activations pipelined in M microbatches. Params must be in the
+    stack_ptv3_params layout (see pp_state_sharding for placement)."""
+    n_stages = mesh.shape[axis]
+    if model.depth % n_stages:
+        raise ValueError(f"depth {model.depth} not divisible by {n_stages} stages")
+    if model.sp_axis:
+        raise ValueError("PP and SP are separate modes (sp_axis must be None)")
+    m = num_microbatches or n_stages
+    blk = _block_module(model)
+
+    def per_dev(params, batch_stats, xyz, feats):
+        x, pos, inv = _embed(model, params["rest"], xyz, feats)
+        outs = _pipeline(
+            blk, params["blocks"], _split_mb(x, m), _split_mb(pos, m),
+            axis, n_stages, False, None,
+        )
+        x = outs.reshape(-1, *outs.shape[2:])
+        logits, _ = _head(model, params["rest"], batch_stats, x, False, None)
+        if inv is not None:
+            logits = jnp.take_along_axis(logits, inv[..., None], axis=1)
+        return logits
+
+    sharded = shard_map(
+        per_dev,
+        mesh=mesh,
+        in_specs=({"blocks": P(axis), "rest": P()}, P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_pp_train_step(
+    model, loss_cfg, optimizer, mesh: Mesh, example_state: TrainState,
+    axis: str = "pp", num_microbatches: Optional[int] = None,
+    donate: bool = True,
+):
+    """PP train step. state.params/opt_state in the stacked layout with the
+    'blocks' subtree leading dim sharded over `axis` (pp_place_state);
+    `example_state` (e.g. the make_pp_state result) fixes the state pytree
+    structure for the shard_map specs. All losses are supported — every
+    device sees the FULL logits/labels (unlike SP's N-sharded view), so
+    whole-cloud losses (bridge_structure, sol) decompose trivially."""
+    n_stages = mesh.shape[axis]
+    if model.depth % n_stages:
+        raise ValueError(f"depth {model.depth} not divisible by {n_stages} stages")
+    m = num_microbatches or n_stages
+    blk = _block_module(model)
+    loss_fn = _loss_fn_for(loss_cfg)
+
+    def per_dev(state: TrainState, batch, lr, class_weights, rng):
+        xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            x, pos, inv = _embed(model, params["rest"], xyz, feats)
+            outs = _pipeline(
+                blk, params["blocks"], _split_mb(x, m), _split_mb(pos, m),
+                axis, n_stages, True, jax.random.fold_in(step_rng, 1),
+            )
+            x_full = outs.reshape(-1, *outs.shape[2:])
+            logits, new_bs = _head(
+                model, params["rest"], state.batch_stats, x_full, True,
+                jax.random.fold_in(step_rng, 2),
+            )
+            if inv is not None:
+                logits = jnp.take_along_axis(logits, inv[..., None], axis=1)
+            loss = loss_fn(logits, labels, xyz, class_weights)
+            return loss, (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        # grad scaling (module docstring): psum'd-output path gives P x grads;
+        # trunk grads are stage-local (divide locally), replicated-param
+        # grads pmean (embed P x on stage 0 / 0 elsewhere -> sum/P = true;
+        # head 1x replicated -> sum/P = true).
+        grads = {
+            "blocks": jax.tree.map(lambda g: g / n_stages, grads["blocks"]),
+            "rest": jax.lax.pmean(grads["rest"], axis),
+        }
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        acc = jnp.mean((preds == labels).astype(jnp.float32))
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    state_spec = pp_state_specs(example_state, axis)
+    batch_spec = {"points": P(), "colors": P(), "labels": P()}
+    sharded = shard_map(
+        per_dev,
+        mesh=mesh,
+        in_specs=(state_spec, batch_spec, P(), P(), P()),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def _is_blocks_path(path) -> bool:
+    for k in path:
+        if getattr(k, "key", None) == "blocks":
+            return True
+    return False
+
+
+def pp_state_specs(state: TrainState, axis: str = "pp"):
+    """PartitionSpec tree matching `state` (stacked-params layout): 'blocks'
+    leaves P(axis) on the depth dim, everything else replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: P(axis) if _is_blocks_path(p) and jnp.ndim(x) else P(),
+        state,
+    )
+
+
+def pp_place_state(state: TrainState, mesh: Mesh, axis: str = "pp") -> TrainState:
+    """device_put the stacked-layout state with stage-sharded block params.
+    (PartitionSpec is a tuple subclass, i.e. itself a pytree — specs must be
+    assigned per-leaf by path, never tree-mapped against the state.)"""
+
+    def put(path, x):
+        spec = P(axis) if _is_blocks_path(path) and jnp.ndim(x) else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, state)
+
+
+def make_pp_state(model, rng, sample_batch, optimizer) -> TrainState:
+    """Init the model normally and regroup into the stacked PP layout
+    (opt_state re-initialized over the stacked tree so Adam moments shard
+    with their params)."""
+    from ..train.loop import create_train_state
+
+    st = create_train_state(model, rng, sample_batch, optimizer)
+    params = stack_ptv3_params(dict(st.params), model.depth)
+    return TrainState(
+        step=st.step,
+        params=params,
+        batch_stats=st.batch_stats,
+        opt_state=optimizer.init(params),
+    )

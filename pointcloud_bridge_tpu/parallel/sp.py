@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import losses as L
 from ..train.loop import TrainState
@@ -41,7 +41,7 @@ def make_sp_forward(model, mesh: Mesh, axis: str = "sp"):
         mesh=mesh,
         in_specs=(P(), P(None, axis), P(None, axis)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -125,6 +125,6 @@ def make_sp_train_step(
         mesh=mesh,
         in_specs=(P(), batch_spec, P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..train.loop import TrainState, _loss_fn_for
 from ..utils import metrics as M
@@ -87,7 +87,7 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), batch_spec, P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
@@ -120,6 +120,6 @@ def make_dp_eval_step(model, num_classes: int, mesh: Mesh, axis: str = "data"):
         mesh=mesh,
         in_specs=(P(), P(), batch_spec, P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -1,0 +1,180 @@
+"""Pipeline parallelism (parallel/pp.py): GPipe over PTv3 blocks must match
+single-device math exactly — forward logits, one-step loss, gradients (via
+the updated params), and BatchNorm running stats. Runs on the 8-virtual-CPU
+mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_bridge_tpu.models import get_model
+from pointcloud_bridge_tpu.parallel import (
+    make_mesh,
+    make_pp_forward,
+    make_pp_state,
+    make_pp_train_step,
+    pp_place_state,
+    stack_ptv3_params,
+    unstack_ptv3_params,
+)
+from pointcloud_bridge_tpu.train.loop import create_train_state, make_optimizer
+from pointcloud_bridge_tpu.config import Config
+
+
+KW = dict(
+    num_classes=5, embed_dim=32, depth=4, num_heads=2,
+    drop_rate=0.0, attn_drop_rate=0.0, head_drop_rate=0.0,
+)
+
+
+def _batch(rng, b=4, n=64):
+    return {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+
+
+def test_stack_unstack_roundtrip(rng):
+    model = get_model("ptv3", **KW)
+    batch = _batch(rng)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["points"][:1]),
+        jnp.asarray(batch["colors"][:1]), train=False,
+    )
+    params = variables["params"]
+    rt = unstack_ptv3_params(stack_ptv3_params(dict(params), 4), 4)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("stages,microbatches", [(4, 2), (2, 4)])
+def test_pp_forward_matches_single_device(rng, stages, microbatches):
+    model = get_model("ptv3", **KW)
+    batch = _batch(rng)
+    xyz = jnp.asarray(batch["points"])
+    feats = jnp.asarray(batch["colors"])
+    variables = model.init(jax.random.PRNGKey(0), xyz[:1], feats[:1], train=False)
+    ref = model.apply(variables, xyz, feats, train=False)
+
+    mesh = make_mesh(stages, axis="pp")
+    fwd = make_pp_forward(model, mesh, num_microbatches=microbatches)
+    params = stack_ptv3_params(dict(variables["params"]), model.depth)
+    got = fwd(params, variables.get("batch_stats", {}), xyz, feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pp_forward_windowed_morton(rng):
+    model = get_model("ptv3", window_size=16, **KW)
+    batch = _batch(rng)
+    xyz = jnp.asarray(batch["points"])
+    feats = jnp.asarray(batch["colors"])
+    variables = model.init(jax.random.PRNGKey(0), xyz[:1], feats[:1], train=False)
+    ref = model.apply(variables, xyz, feats, train=False)
+
+    mesh = make_mesh(4, axis="pp")
+    fwd = make_pp_forward(model, mesh, num_microbatches=2)
+    params = stack_ptv3_params(dict(variables["params"]), model.depth)
+    got = fwd(params, variables.get("batch_stats", {}), xyz, feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pp_train_step_matches_single_device(rng):
+    """One PP train step == one single-device train step: loss, every updated
+    parameter (incl. stage-sharded trunk grads through the pipeline
+    transpose), and the head BN running stats.
+
+    The optimizer is identity-GD (update = -lr * grad) so parameter deltas ARE
+    the gradients scaled by lr: with Adam the step-1 update is ~ lr*sign(g),
+    which amplifies fp-reassociation noise on near-zero grad elements into
+    O(lr) param differences (seen in practice) while saying nothing about
+    gradient correctness."""
+    import optax
+
+    model = get_model("ptv3", **KW)
+    batch = _batch(rng)
+    opt = optax.identity()
+    cfg = Config()
+    key = jax.random.PRNGKey(0)
+
+    # single-device oracle step (same loss/optimizer conventions as the loop)
+    from pointcloud_bridge_tpu.train.loop import _loss_fn_for
+
+    st = create_train_state(model, key, batch, opt)
+    loss_fn = _loss_fn_for(cfg.loss)
+    xyz = jnp.asarray(batch["points"])
+    feats = jnp.asarray(batch["colors"])
+    labels = jnp.asarray(batch["labels"])
+    cw = jnp.ones(5, jnp.float32)
+
+    def compute_loss(params):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": st.batch_stats},
+            xyz, feats, train=True,
+            rngs={"dropout": key},
+            mutable=["batch_stats"],
+        )
+        return loss_fn(logits, labels, xyz, cw), mutated["batch_stats"]
+
+    (ref_loss, ref_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+        st.params
+    )
+    updates, _ = opt.update(grads, st.opt_state, st.params)
+    ref_params = optax.apply_updates(
+        st.params, jax.tree.map(lambda u: -1e-3 * u, updates)
+    )
+
+    # PP step from the same init
+    mesh = make_mesh(4, axis="pp")
+    pp_state = make_pp_state(model, key, batch, opt)
+    # make_pp_state re-inits; overwrite with the oracle's params for identity
+    pp_state = pp_state.replace(
+        params=stack_ptv3_params(dict(st.params), model.depth)
+    )
+    pp_state = pp_state.replace(opt_state=opt.init(pp_state.params))
+    pp_state = pp_place_state(pp_state, mesh)
+    step = make_pp_train_step(
+        model, cfg.loss, opt, mesh, pp_state, num_microbatches=2, donate=False
+    )
+    new_state, metrics = step(
+        pp_state,
+        {"points": xyz, "colors": feats, "labels": labels},
+        jnp.float32(1e-3),
+        cw,
+        key,
+    )
+    jax.block_until_ready(new_state)
+
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_loss), rtol=1e-5)
+
+    got_params = unstack_ptv3_params(
+        jax.tree.map(np.asarray, new_state.params), model.depth
+    )
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_params)[0]
+    flat_got = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(got_params)[0]
+    )
+    # deltas are lr * grad, so atol 2e-6 on params = grad agreement to 2e-3
+    # absolute at lr 1e-3 (f32 psum reassociation is ~1e-6 here)
+    for path, ref_v in flat_ref:
+        got_v = flat_got[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(ref_v), atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+    for a, b in zip(
+        jax.tree.leaves(ref_bs), jax.tree.leaves(new_state.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_pp_rejects_indivisible_depth(rng):
+    model = get_model("ptv3", num_classes=5, embed_dim=32, depth=3, num_heads=2)
+    mesh = make_mesh(2, axis="pp")
+    with pytest.raises(ValueError):
+        make_pp_forward(model, mesh)
