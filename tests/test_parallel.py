@@ -212,7 +212,7 @@ def test_tp_2d_mesh_matches_single_device_step():
 
 
 def test_ring_attention_matches_dot_product_attention():
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from pointcloud_bridge_tpu.parallel import make_mesh, ring_attention
@@ -229,7 +229,7 @@ def test_ring_attention_matches_dot_product_attention():
         mesh=mesh,
         in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
         out_specs=P(None, "sp"),
-        check_rep=False,
+        check_vma=False,
     )
     got = np.asarray(jax.jit(ring)(q, k, v))
     want = np.asarray(jax.nn.dot_product_attention(q, k, v))
