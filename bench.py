@@ -2,11 +2,11 @@
 
 Measures segmentation inference throughput (points/sec) on standard
 B=4 x N=4096 blocks — the harness shape of the reference's eva_model.py
-(SURVEY.md §3.5) — and prints one JSON line per model, the PRIMARY
-(pointnet2_ssg, the reference's benchmark flagship) LAST so a last-line
-parser still sees the canonical metric. A bristrunet line is emitted first
-(VERDICT round-2 #8) so regressions in the non-SSG kernel stack (BSE
-attention, gather3, EnhancedFP) are driver-visible too.
+(SURVEY.md §3.5) — and prints ONE JSON line (pointnet2_ssg, the reference's
+benchmark flagship). The secondary bristrunet metric (VERDICT round-2 #8,
+covering the non-SSG kernel stack: BSE attention, gather3, EnhancedFP) lives
+in bench_secondary.py — a second in-driver compile pushed past the driver
+window — and is run per-round with results committed to benchmark_results/.
 
 Baseline: the reference PointNet2 (SSG) at 35,557 points/sec on its GPU
 (Highway_bridge/model_performance_comparison.csv:4, BASELINE.md); BriStruNet

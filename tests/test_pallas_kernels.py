@@ -26,6 +26,32 @@ def test_fps_pallas_start_idx_array(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize(
+    "b,n,npoint", [(4, 4096, 256), (4, 1024, 128), (2, 512, 128), (3, 2048, 64)]
+)
+def test_fps_pallas_packed_matches_jnp(rng, b, n, npoint):
+    """The sublane-packed layout (fps.py::_fps2_kernel) must stay
+    bit-identical to the flat kernel and the jnp oracle at the engine's real
+    shapes (max / first-max-index / one-hot sums are order-independent)."""
+    from pointcloud_bridge_tpu.ops.pallas_kernels.fps import _packed_groups
+
+    assert _packed_groups(n) > 1  # these shapes must take the packed path
+    xyz = jnp.asarray(rng.uniform(size=(b, n, 3)).astype(np.float32))
+    want = np.asarray(_fps_jnp(xyz, npoint))
+    got = np.asarray(fps_pallas(xyz, npoint, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_pallas_packed_ties(rng):
+    """Duplicated points force distance ties: first-max-wins tie-break must
+    survive the packed layout."""
+    base = rng.uniform(size=(2, 256, 3)).astype(np.float32)
+    xyz = jnp.asarray(np.repeat(base, 2, axis=1))  # [2, 512, 3], every pt twice
+    want = np.asarray(_fps_jnp(xyz, 200))
+    got = np.asarray(fps_pallas(xyz, 200, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 # ---------------------------------------------------------------------------
 # gather3 kernel (two-level one-hot neighbor gather)
 # ---------------------------------------------------------------------------
@@ -80,6 +106,22 @@ def test_fps_pallas_bit_identical_on_tpu(rng):
     want = np.asarray(_fps_jnp(xyz, 256))
     got = np.asarray(fps_pallas(xyz, 256))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_fps_pallas_packed_vs_flat_on_tpu(rng, monkeypatch):
+    """Packed (sublane-folded) and flat kernels must agree bit-for-bit with
+    each other and the jnp oracle on the device at the flagship shape."""
+    xyz = jnp.asarray(rng.uniform(size=(4, 4096, 3)).astype(np.float32))
+    want = np.asarray(_fps_jnp(xyz, 512))
+    monkeypatch.setenv("PCB_FPS_PACKED", "0")
+    flat = np.asarray(fps_pallas(xyz, 512))
+    monkeypatch.setenv("PCB_FPS_PACKED", "1")
+    packed = np.asarray(fps_pallas(xyz, 512))
+    np.testing.assert_array_equal(flat, want)
+    np.testing.assert_array_equal(packed, want)
 
 
 @pytest.mark.skipif(
