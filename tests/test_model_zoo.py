@@ -193,3 +193,24 @@ def test_enhanced_pointnet2_ssg(attn):
     v = m.init({"params": key, "dropout": key}, xyz, feats, train=False)
     out = m.apply(v, xyz, feats, train=False)
     assert out.shape == (2, 192, 8)
+
+
+def test_migration_doc_names_resolve():
+    """Doc-rot guard: every model name and CLI module MIGRATION.md mentions
+    must exist (registry names in backticks; `python -m ...` modules)."""
+    import importlib.util
+    import re
+    from pathlib import Path
+
+    from pointcloud_bridge_tpu.models.registry import MODEL_REGISTRY
+
+    text = (Path(__file__).parent.parent / "MIGRATION.md").read_text()
+    # registry names quoted like `pointnet2_ssg` in the model-names section
+    sec = text.split("## Model names")[1].split("##")[0]
+    names = set(re.findall(r"`([a-z0-9_]+)`", sec)) - {"model", "models"}
+    missing = {n for n in names if n not in MODEL_REGISTRY}
+    assert not missing, f"MIGRATION.md names not in registry: {missing}"
+
+    mods = set(re.findall(r"python -m ([a-zA-Z0-9_.]+)", text))
+    for mod in mods:
+        assert importlib.util.find_spec(mod) is not None, mod
