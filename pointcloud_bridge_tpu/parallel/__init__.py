@@ -11,7 +11,7 @@ collectives). `ring.py`/`sp.py` add sequence parallelism: the N point axis
 sharded over the mesh with PTv3 global attention as ring attention.
 """
 
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import make_mesh, make_named_mesh, shard_batch, replicate
 from .train_step import make_dp_train_step, make_dp_eval_step
 from .sharding import (
     make_2d_mesh,
@@ -43,6 +43,7 @@ __all__ = [
     "make_sp_forward",
     "make_sp_train_step",
     "make_mesh",
+    "make_named_mesh",
     "shard_batch",
     "replicate",
     "make_dp_train_step",

@@ -17,6 +17,14 @@ def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_named_mesh(shape, axes) -> Mesh:
+    """N-D device mesh, e.g. make_named_mesh((2, 4), ("data", "pp")) for the
+    composite dp x pp training config."""
+    n = int(np.prod(shape))
+    devices = np.array(jax.devices()[:n]).reshape(shape)
+    return Mesh(devices, tuple(axes))
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     """Put a host batch onto the mesh, sharded along the leading axis."""
     def put(x):

@@ -112,12 +112,17 @@ def _embed(model, rest, xyz, feats):
     return x, pos, inv_order
 
 
-def _head(model, rest, batch_stats, x, train, rng):
+def _head(model, rest, batch_stats, x, train, rng, dp_axis=None):
     x = nn.LayerNorm(epsilon=1e-6).apply(
         {"params": rest["norm"]}, x.astype(jnp.float32)
     )
     x = _dense(rest["head_fc1"], x)
-    bn = nn.BatchNorm(use_running_average=not train, momentum=0.9)
+    # dp_axis: batch moments span the full (dp-sharded) batch — sync-BN, so
+    # running stats match the single-device model exactly (and agree across
+    # dp replicas without any explicit pmean of the state).
+    bn = nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, axis_name=dp_axis
+    )
     bn_vars = {"params": rest["head_bn"], "batch_stats": batch_stats["head_bn"]}
     if train:
         x, mut = bn.apply(bn_vars, x, mutable=["batch_stats"])
@@ -203,10 +208,15 @@ def _split_mb(x, m):
 
 
 def make_pp_forward(model, mesh: Mesh, axis: str = "pp",
-                    num_microbatches: Optional[int] = None):
+                    num_microbatches: Optional[int] = None,
+                    dp_axis: Optional[str] = None):
     """jit'd eval forward: trunk block params stage-sharded over `axis`,
     activations pipelined in M microbatches. Params must be in the
-    stack_ptv3_params layout (see pp_state_sharding for placement)."""
+    stack_ptv3_params layout (see pp_state_sharding for placement).
+
+    dp_axis: composite dp x pp on a 2-D mesh — the batch axis is additionally
+    sharded over `dp_axis` (each dp replica pipelines its own shard; the
+    microbatch count applies to the LOCAL batch)."""
     n_stages = mesh.shape[axis]
     if model.depth % n_stages:
         raise ValueError(f"depth {model.depth} not divisible by {n_stages} stages")
@@ -214,6 +224,7 @@ def make_pp_forward(model, mesh: Mesh, axis: str = "pp",
         raise ValueError("PP and SP are separate modes (sp_axis must be None)")
     m = num_microbatches or n_stages
     blk = _block_module(model)
+    bspec = P(dp_axis) if dp_axis else P()
 
     def per_dev(params, batch_stats, xyz, feats):
         x, pos, inv = _embed(model, params["rest"], xyz, feats)
@@ -230,8 +241,8 @@ def make_pp_forward(model, mesh: Mesh, axis: str = "pp",
     sharded = shard_map(
         per_dev,
         mesh=mesh,
-        in_specs=({"blocks": P(axis), "rest": P()}, P(), P(), P()),
-        out_specs=P(),
+        in_specs=({"blocks": P(axis), "rest": P()}, P(), bspec, bspec),
+        out_specs=bspec,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -240,17 +251,40 @@ def make_pp_forward(model, mesh: Mesh, axis: str = "pp",
 def make_pp_train_step(
     model, loss_cfg, optimizer, mesh: Mesh, example_state: TrainState,
     axis: str = "pp", num_microbatches: Optional[int] = None,
-    donate: bool = True,
+    donate: bool = True, dp_axis: Optional[str] = None,
 ):
     """PP train step. state.params/opt_state in the stacked layout with the
     'blocks' subtree leading dim sharded over `axis` (pp_place_state);
     `example_state` (e.g. the make_pp_state result) fixes the state pytree
     structure for the shard_map specs. All losses are supported — every
     device sees the FULL logits/labels (unlike SP's N-sharded view), so
-    whole-cloud losses (bridge_structure, sol) decompose trivially."""
+    whole-cloud losses (bridge_structure, sol) decompose trivially.
+
+    dp_axis: composite dp x pp on a 2-D mesh — the batch is sharded over
+    `dp_axis`, block params stay stage-sharded over `axis` and replicated
+    over `dp_axis` (standard production 2-D config: pp for trunk memory, dp
+    for throughput). The loss is computed in decomposed form (weighted NLL
+    sum, weight sum) and psum'd over dp BEFORE dividing so non-uniform
+    per-shard class mixes don't bias the weighted mean (advisor round-2 —
+    restricted to ce/weighted_ce, like SP). Head BN uses sync-BN over
+    dp_axis, so running stats match single-device training exactly.
+
+    Grad scaling under dp x pp (derivation in the module docstring for the
+    pp-only factors; the dp psum'd loss adds a uniform P_dp factor through
+    the psum transpose): per-device grads are P_dp*P_pp x the local
+    contribution for pipeline-path params (blocks, embed) and P_dp x for the
+    replica-local head — so blocks take pmean over dp then /P_pp, and rest
+    takes pmean over BOTH axes; each reduces to the documented pp-only rule
+    when dp_axis is None."""
     n_stages = mesh.shape[axis]
     if model.depth % n_stages:
         raise ValueError(f"depth {model.depth} not divisible by {n_stages} stages")
+    if dp_axis and loss_cfg.name not in ("ce", "weighted_ce"):
+        raise ValueError(
+            f"loss '{loss_cfg.name}' is not decomposable over dp shards of "
+            "the batch without whole-batch statistics; dp x pp supports "
+            "ce/weighted_ce only"
+        )
     m = num_microbatches or n_stages
     blk = _block_module(model)
     loss_fn = _loss_fn_for(loss_cfg)
@@ -258,6 +292,12 @@ def make_pp_train_step(
     def per_dev(state: TrainState, batch, lr, class_weights, rng):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
         step_rng = jax.random.fold_in(rng, state.step)
+        if dp_axis:
+            # distinct dropout masks per dp shard (pp members of one replica
+            # must share masks — they recompute the same logits)
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(dp_axis)
+            )
 
         def compute_loss(params):
             x, pos, inv = _embed(model, params["rest"], xyz, feats)
@@ -268,29 +308,49 @@ def make_pp_train_step(
             x_full = outs.reshape(-1, *outs.shape[2:])
             logits, new_bs = _head(
                 model, params["rest"], state.batch_stats, x_full, True,
-                jax.random.fold_in(step_rng, 2),
+                jax.random.fold_in(step_rng, 2), dp_axis=dp_axis,
             )
             if inv is not None:
                 logits = jnp.take_along_axis(logits, inv[..., None], axis=1)
-            loss = loss_fn(logits, labels, xyz, class_weights)
+            if dp_axis:
+                from .. import losses as L
+
+                cw = class_weights if loss_cfg.use_class_weights else None
+                numer, denom = L.weighted_cross_entropy_sums(
+                    logits, labels, cw, loss_cfg.label_smoothing
+                )
+                numer = jax.lax.psum(numer, dp_axis)
+                denom = jax.lax.psum(denom, dp_axis)
+                loss = numer / jnp.maximum(denom, 1e-8)
+            else:
+                loss = loss_fn(logits, labels, xyz, class_weights)
             return loss, (logits, new_bs)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
-        # grad scaling (module docstring): psum'd-output path gives P x grads;
-        # trunk grads are stage-local (divide locally), replicated-param
-        # grads pmean (embed P x on stage 0 / 0 elsewhere -> sum/P = true;
-        # head 1x replicated -> sum/P = true).
-        grads = {
-            "blocks": jax.tree.map(lambda g: g / n_stages, grads["blocks"]),
-            "rest": jax.lax.pmean(grads["rest"], axis),
-        }
+        # grad scaling: see docstrings (module: pp factors; this function:
+        # the extra uniform P_dp factor from the dp psum transpose).
+        if dp_axis:
+            grads = {
+                "blocks": jax.tree.map(
+                    lambda g: g / n_stages,
+                    jax.lax.pmean(grads["blocks"], dp_axis),
+                ),
+                "rest": jax.lax.pmean(grads["rest"], (dp_axis, axis)),
+            }
+        else:
+            grads = {
+                "blocks": jax.tree.map(lambda g: g / n_stages, grads["blocks"]),
+                "rest": jax.lax.pmean(grads["rest"], axis),
+            }
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
         acc = jnp.mean((preds == labels).astype(jnp.float32))
+        if dp_axis:
+            acc = jax.lax.pmean(acc, dp_axis)  # equal-size shards
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -300,7 +360,8 @@ def make_pp_train_step(
         return new_state, {"loss": loss, "acc": acc}
 
     state_spec = pp_state_specs(example_state, axis)
-    batch_spec = {"points": P(), "colors": P(), "labels": P()}
+    bspec = P(dp_axis) if dp_axis else P()
+    batch_spec = {"points": bspec, "colors": bspec, "labels": bspec}
     sharded = shard_map(
         per_dev,
         mesh=mesh,

@@ -178,3 +178,118 @@ def test_pp_rejects_indivisible_depth(rng):
     mesh = make_mesh(2, axis="pp")
     with pytest.raises(ValueError):
         make_pp_forward(model, mesh)
+
+
+def test_dp_pp_composite_matches_single_device(rng):
+    """dp x pp on a (2, 4) mesh == single-device step: the batch shards over
+    dp (decomposed weighted-CE psum'd before dividing), blocks stage-shard
+    over pp, head BN is sync-BN over dp. Loss, every updated param, and BN
+    running stats must match the full-batch single-device oracle."""
+    import optax
+
+    from pointcloud_bridge_tpu.parallel import make_named_mesh, shard_batch
+    from pointcloud_bridge_tpu.train.loop import _loss_fn_for
+
+    model = get_model("ptv3", **KW)
+    batch = _batch(rng, b=8)
+    opt = optax.identity()
+    cfg = Config()
+    key = jax.random.PRNGKey(0)
+
+    st = create_train_state(model, key, batch, opt)
+    loss_fn = _loss_fn_for(cfg.loss)
+    xyz = jnp.asarray(batch["points"])
+    feats = jnp.asarray(batch["colors"])
+    labels = jnp.asarray(batch["labels"])
+    cw = jnp.ones(5, jnp.float32)
+
+    def compute_loss(params):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": st.batch_stats},
+            xyz, feats, train=True,
+            rngs={"dropout": key},
+            mutable=["batch_stats"],
+        )
+        return loss_fn(logits, labels, xyz, cw), mutated["batch_stats"]
+
+    (ref_loss, ref_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+        st.params
+    )
+    updates, _ = opt.update(grads, st.opt_state, st.params)
+    ref_params = optax.apply_updates(
+        st.params, jax.tree.map(lambda u: -1e-3 * u, updates)
+    )
+
+    mesh = make_named_mesh((2, 4), ("data", "pp"))
+    pp_state = make_pp_state(model, key, batch, opt)
+    pp_state = pp_state.replace(
+        params=stack_ptv3_params(dict(st.params), model.depth)
+    )
+    pp_state = pp_state.replace(opt_state=opt.init(pp_state.params))
+    pp_state = pp_place_state(pp_state, mesh)
+    step = make_pp_train_step(
+        model, cfg.loss, opt, mesh, pp_state, num_microbatches=2,
+        donate=False, dp_axis="data",
+    )
+    dev_batch = shard_batch(
+        {"points": batch["points"], "colors": batch["colors"],
+         "labels": batch["labels"]}, mesh, "data",
+    )
+    new_state, metrics = step(
+        pp_state, dev_batch, jnp.float32(1e-3), cw, key,
+    )
+    jax.block_until_ready(new_state)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_loss), rtol=1e-5)
+
+    got_params = unstack_ptv3_params(
+        jax.tree.map(np.asarray, new_state.params), model.depth
+    )
+    flat_got = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(got_params)[0]
+    )
+    for path, ref_v in jax.tree_util.tree_flatten_with_path(ref_params)[0]:
+        got_v = flat_got[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(ref_v), atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+    for a, b in zip(
+        jax.tree.leaves(ref_bs), jax.tree.leaves(new_state.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_dp_pp_forward_matches_single_device(rng):
+    from pointcloud_bridge_tpu.parallel import make_named_mesh
+
+    model = get_model("ptv3", **KW)
+    batch = _batch(rng, b=8)
+    xyz = jnp.asarray(batch["points"])
+    feats = jnp.asarray(batch["colors"])
+    variables = model.init(jax.random.PRNGKey(0), xyz[:1], feats[:1], train=False)
+    ref = model.apply(variables, xyz, feats, train=False)
+
+    mesh = make_named_mesh((2, 4), ("data", "pp"))
+    fwd = make_pp_forward(model, mesh, num_microbatches=2, dp_axis="data")
+    params = stack_ptv3_params(dict(variables["params"]), model.depth)
+    got = fwd(params, variables.get("batch_stats", {}), xyz, feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dp_pp_rejects_nondecomposable_loss(rng):
+    import optax
+
+    from pointcloud_bridge_tpu.parallel import make_named_mesh
+
+    model = get_model("ptv3", **KW)
+    batch = _batch(rng)
+    cfg = Config()
+    cfg.loss.name = "bridge_structure"
+    mesh = make_named_mesh((2, 4), ("data", "pp"))
+    pp_state = make_pp_state(model, jax.random.PRNGKey(0), batch, optax.identity())
+    with pytest.raises(ValueError):
+        make_pp_train_step(
+            model, cfg.loss, optax.identity(), mesh, pp_state, dp_axis="data"
+        )
