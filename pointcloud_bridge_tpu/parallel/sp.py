@@ -15,7 +15,7 @@ checkpoints move freely between modes.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,27 +27,32 @@ from .. import losses as L
 from ..train.loop import TrainState
 
 
-def make_sp_forward(model, mesh: Mesh, axis: str = "sp"):
+def make_sp_forward(model, mesh: Mesh, axis: str = "sp",
+                    dp_axis: Optional[str] = None):
     """jit'd forward with xyz/feats/logits sharded over the N (point) axis.
 
-    `model` must be constructed with sp_axis=`axis`.
+    `model` must be constructed with sp_axis=`axis`. dp_axis: composite
+    dp x sp on a 2-D mesh — the BATCH axis is additionally sharded over
+    `dp_axis` (each dp replica ring-attends over its own shard's points).
     """
 
     def per_shard(variables, xyz, feats):
         return model.apply(variables, xyz, feats, train=False)
 
+    bspec = P(dp_axis, axis)
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis)),
-        out_specs=P(None, axis),
+        in_specs=(P(), bspec, bspec),
+        out_specs=bspec,
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
 def make_sp_train_step(
-    model, loss_cfg, optimizer, mesh: Mesh, axis: str = "sp", donate: bool = True
+    model, loss_cfg, optimizer, mesh: Mesh, axis: str = "sp",
+    donate: bool = True, dp_axis: Optional[str] = None,
 ):
     """SP train step: points/labels sharded over N, params replicated.
 
@@ -64,6 +69,13 @@ def make_sp_train_step(
     read cross-shard xyz statistics (z-centroids over the full cloud) and
     would silently compute per-shard priors — we raise instead. `model` needs
     sp_axis=`axis` AND axis_name=`axis`.
+
+    dp_axis: composite dp x sp on a 2-D (dp, sp) mesh — batch over dp, N
+    over sp. The decomposed loss sums psum over BOTH axes (global weighted
+    mean over every shard of every example), grads/BN-stats pmean over both,
+    and the model must use axis_name=(dp_axis, axis) so BN moments span the
+    full (batch x point) extent — exactness vs single-device is asserted in
+    tests/test_parallel.py.
     """
     if loss_cfg.name not in ("ce", "weighted_ce"):
         raise ValueError(
@@ -75,6 +87,10 @@ def make_sp_train_step(
     def per_shard(state: TrainState, batch, lr, class_weights, rng):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
         shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        if dp_axis:
+            shard_rng = jax.random.fold_in(
+                shard_rng, jax.lax.axis_index(dp_axis)
+            )
 
         def compute_loss(params):
             logits, mutated = model.apply(
@@ -89,8 +105,9 @@ def make_sp_train_step(
             numer, denom = L.weighted_cross_entropy_sums(
                 logits, labels, cw, loss_cfg.label_smoothing
             )
-            numer = jax.lax.psum(numer, axis)
-            denom = jax.lax.psum(denom, axis)
+            axes = (dp_axis, axis) if dp_axis else axis
+            numer = jax.lax.psum(numer, axes)
+            denom = jax.lax.psum(denom, axes)
             loss = numer / jnp.maximum(denom, 1e-8)
             return loss, (logits, mutated["batch_stats"])
 
@@ -100,13 +117,17 @@ def make_sp_train_step(
         # compute_loss returns the GLOBAL loss (psum'd numerator); psum
         # transposes to psum, so each local grad is P * its true additive
         # contribution — pmean cancels the P and sums the contributions.
-        grads = jax.lax.pmean(grads, axis)
-        new_bs = jax.lax.pmean(new_bs, axis)
+        axes = (dp_axis, axis) if dp_axis else axis
+        grads = jax.lax.pmean(grads, axes)
+        new_bs = jax.lax.pmean(new_bs, axes)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
         preds = jnp.argmax(logits, axis=-1)
-        acc = jax.lax.pmean(jnp.mean((preds == labels).astype(jnp.float32)), axis)
+        acc = jax.lax.pmean(
+            jnp.mean((preds == labels).astype(jnp.float32)),
+            (dp_axis, axis) if dp_axis else axis,
+        )
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -115,11 +136,8 @@ def make_sp_train_step(
         )
         return new_state, {"loss": loss, "acc": acc}
 
-    batch_spec = {
-        "points": P(None, axis),
-        "colors": P(None, axis),
-        "labels": P(None, axis),
-    }
+    bspec = P(dp_axis, axis)  # dp_axis=None -> batch dim replicated
+    batch_spec = {"points": bspec, "colors": bspec, "labels": bspec}
     sharded = shard_map(
         per_shard,
         mesh=mesh,

@@ -390,3 +390,67 @@ def test_sp_train_step_rejects_non_decomposable_loss():
                       num_heads=2, sp_axis="sp", axis_name="sp")
     with pytest.raises(ValueError, match="not decomposable"):
         make_sp_train_step(model, cfg.loss, make_optimizer(), mesh, axis="sp")
+
+
+def test_dp_sp_composite_train_step_matches_single_device():
+    """Composite dp x sp on a (2, 4) mesh: batch over dp, N over sp (ring
+    attention within each dp replica), BN moments over BOTH axes via a tuple
+    axis_name. Loss and update direction must match single-device math."""
+    from pointcloud_bridge_tpu.parallel import (
+        make_named_mesh, make_sp_train_step, shard_batch)
+    from pointcloud_bridge_tpu.train.loop import make_train_step
+
+    rng = np.random.default_rng(3)
+    b, n = 4, 256
+    batch = {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    kw = dict(num_classes=5, embed_dim=64, depth=2, num_heads=2,
+              drop_rate=0.0, attn_drop_rate=0.0, head_drop_rate=0.0)
+
+    ref_model = get_model("ptv3", **kw)
+    state0 = create_train_state(ref_model, key, batch, opt)
+    p0 = jax.tree.map(np.asarray, state0.params)
+    ref_step = make_train_step(ref_model, cfg.loss, opt, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    cw = jnp.ones(5)
+    s_ref, m_ref = ref_step(state0, jb, jnp.float32(1e-3), cw, key)
+
+    sp_model = get_model("ptv3", sp_axis="sp", axis_name=("data", "sp"), **kw)
+    mesh = make_named_mesh((2, 4), ("data", "sp"))
+    step = make_sp_train_step(sp_model, cfg.loss, opt, mesh, axis="sp",
+                              donate=False, dp_axis="data")
+    s_got, m_got = step(
+        state0,
+        {k: jnp.asarray(batch[k]) for k in ("points", "colors", "labels")},
+        jnp.float32(1e-3), cw, key,
+    )
+    np.testing.assert_allclose(
+        float(m_got["loss"]), float(m_ref["loss"]), rtol=2e-4
+    )
+
+    def flat_delta(a, b2):
+        return np.concatenate([
+            (np.asarray(x) - np.asarray(y)).ravel()
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b2))
+        ])
+
+    d_got = flat_delta(s_got.params, p0)
+    d_ref = flat_delta(s_ref.params, p0)
+    cos = float(d_got @ d_ref / (np.linalg.norm(d_got) * np.linalg.norm(d_ref)))
+    assert cos > 0.95, cos
+
+    bs_got = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(s_got.batch_stats)])
+    bs_ref = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(s_ref.batch_stats)])
+    np.testing.assert_allclose(bs_got, bs_ref, atol=1e-4)
