@@ -1,0 +1,163 @@
+"""Mixture-of-Experts feed-forward (beyond-reference capability).
+
+No model in the reference zoo is MoE (its PTv3 variant uses a dense GEGLU
+FFN, Highway_bridge/models/PointTransformerV3.py:8-38), so this module has
+no reference counterpart; it exists to give the framework a real expert
+axis for expert-parallel scaling (SURVEY §2.9 matrix: dp/tp/sp/pp/ep) on
+TPU pods, where the FFN params of a scaled-up PTv3 dominate memory.
+
+Design (TPU-first, GShard/Switch-style grouped dense dispatch):
+  - tokens are routed in fixed-size GROUPS with a static per-group expert
+    CAPACITY, so every shape is static under jit — no ragged anything;
+  - dispatch/combine are one-hot einsums that lower onto the MXU; under a
+    ("data", "expert") GSPMD mesh the expert-stacked parameters shard over
+    the `expert` axis and XLA inserts the all-to-all-shaped collectives
+    around the dispatch contractions (the scaling-book recipe: annotate,
+    let the partitioner place collectives);
+  - top-k routing (k in {1,2}) with gates renormalized over the selected
+    experts; tokens beyond an expert's capacity are DROPPED for that
+    choice (they still ride the residual connection in the host block);
+  - router always computes in f32; expert matmuls follow the block's
+    compute dtype;
+  - the Switch load-balance auxiliary loss is sown into the
+    `intermediates` collection (a no-op unless the caller makes it
+    mutable — parallel/ep.py's train step does and adds it to the loss).
+
+Expert parameters are stacked on a leading E axis and named with an
+`experts_` prefix; `parallel/ep.py::ep_state_shardings` shards exactly
+those leaves over the mesh's expert axis (optimizer moments follow, since
+optax mirrors the param tree).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _group_size(total: int, max_group: int) -> int:
+    """Largest divisor of `total` that is <= max_group (static, trace-time)."""
+    g = min(max_group, total)
+    while total % g:
+        g -= 1
+    return g
+
+
+class MoEFeedForward(nn.Module):
+    """Drop-in replacement for models.ptv3.FeedForward with E experts.
+
+    Each expert is the same GEGLU FFN (proj: dim -> 2*hidden, out:
+    hidden -> dim); a learned router picks top_k experts per token and the
+    output is the gate-weighted sum of the selected experts' outputs
+    (exactly sum_k gate_k * FFN_{e_k}(x) whenever capacity is not
+    exceeded — tested against a per-token loop oracle).
+    """
+
+    num_experts: int
+    hidden_dim: int
+    dim: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    max_group_size: int = 512
+    dropout: float = 0.0
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, d = x.shape
+        E, K = self.num_experts, self.top_k
+        if not 1 <= K <= E:
+            raise ValueError(f"top_k={K} must be in [1, num_experts={E}]")
+
+        # ---- expert-stacked parameters (leading E axis -> `expert` shard) --
+        winit = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"
+        )
+        w_proj = self.param(
+            "experts_proj_kernel", winit, (E, d, 2 * self.hidden_dim)
+        )
+        b_proj = self.param(
+            "experts_proj_bias", nn.initializers.zeros, (E, 2 * self.hidden_dim)
+        )
+        w_out = self.param(
+            "experts_out_kernel", winit, (E, self.hidden_dim, d)
+        )
+        b_out = self.param("experts_out_bias", nn.initializers.zeros, (E, d))
+
+        # ---- grouping (static shapes) --------------------------------------
+        T = b * n
+        S = _group_size(T, self.max_group_size)
+        G = T // S
+        # per-group, per-expert slot capacity; padded to a multiple of 8 so
+        # the capacity one-hot tiles cleanly
+        C = max(8, int(-(-K * S * self.capacity_factor // E)))
+        C = min(-(-C // 8) * 8, K * S)
+
+        xt = x.reshape(G, S, d)
+
+        # ---- router (always f32) -------------------------------------------
+        router = nn.Dense(E, use_bias=False, dtype=jnp.float32, name="router")
+        logits = router(xt.astype(jnp.float32))  # [G, S, E]
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        # iterative top-k (K <= 2 in practice; avoids a full sort)
+        sel, gate = [], []
+        masked = probs
+        for _ in range(K):
+            idx = jnp.argmax(masked, axis=-1)  # [G, S]
+            sel.append(idx)
+            gate.append(jnp.take_along_axis(masked, idx[..., None], -1)[..., 0])
+            masked = masked * (1.0 - jax.nn.one_hot(idx, E, dtype=probs.dtype))
+        sel = jnp.stack(sel, axis=-1)  # [G, S, K]
+        gate = jnp.stack(gate, axis=-1)  # [G, S, K]
+        # renormalize gates over the selected experts (Mixtral-style)
+        gate = gate / jnp.maximum(
+            jnp.sum(gate, axis=-1, keepdims=True), 1e-9
+        )
+
+        # Switch load-balance aux loss: E * sum_e f_e * P_e over primary
+        # choices (sown; only trained when `intermediates` is mutable)
+        prim = jax.nn.one_hot(sel[..., 0], E, dtype=jnp.float32)
+        f_e = jnp.mean(prim, axis=(0, 1))
+        p_e = jnp.mean(probs, axis=(0, 1))
+        self.sow("intermediates", "moe_aux_loss", E * jnp.sum(f_e * p_e))
+
+        # ---- capacity assignment (GShard priority: rank-major) -------------
+        # mask: [G, K*S, E] with all rank-0 choices before rank-1, so a
+        # token's primary choice never loses its slot to someone's secondary.
+        mask = jax.nn.one_hot(sel, E, dtype=jnp.float32)  # [G, S, K, E]
+        mask = mask.transpose(0, 2, 1, 3).reshape(G, K * S, E)
+        pos = jnp.cumsum(mask, axis=1) - mask  # position within expert
+        mask = mask * (pos < C)
+        # dispatch one-hot over capacity slots: [G, K*S, E, C]
+        cdt = jnp.dtype(self.dtype) if self.dtype else xt.dtype
+        dispatch = mask[..., None] * jax.nn.one_hot(
+            pos.astype(jnp.int32), C, dtype=jnp.float32
+        )
+        gate_flat = gate.transpose(0, 2, 1).reshape(G, K * S)
+        combine = dispatch * gate_flat[..., None, None]
+        dispatch = dispatch.astype(cdt)
+        combine = combine.astype(cdt)
+
+        # ---- expert compute (MXU einsums; E axis shards over `expert`) -----
+        xks = jnp.tile(xt, (1, K, 1)).astype(cdt)  # [G, K*S, d] rank-major
+        expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, xks)
+        h = (
+            jnp.einsum("gecd,edh->gech", expert_in, w_proj.astype(cdt))
+            + b_proj.astype(cdt)[:, None, :]  # [E, 2H] -> [E, 1, 2H]
+        )
+        a, g_ = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(g_)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        out = (
+            jnp.einsum("gech,ehd->gecd", h, w_out.astype(cdt))
+            + b_out.astype(cdt)[:, None, :]  # [E, d] -> [E, 1, d]
+        )
+        y = jnp.einsum("gtec,gecd->gtd", combine, out)  # [G, K*S, d]
+        y = y.reshape(G, K, S, d).sum(axis=1).reshape(b, n, d)
+        return nn.Dropout(self.dropout, deterministic=not train)(
+            y.astype(x.dtype)
+        )

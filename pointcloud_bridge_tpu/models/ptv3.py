@@ -196,6 +196,13 @@ class PointTransformerBlock(nn.Module):
     window_size: int = 0
     sp_axis: Optional[str] = None
     dtype: Optional[str] = None
+    # Mixture-of-Experts FFN (beyond reference; models/moe.py): >0 replaces
+    # this block's dense GEGLU with num_experts expert copies behind a
+    # top-k router. Expert params stack on a leading E axis (`experts_*`)
+    # that parallel/ep.py shards over an `expert` mesh axis.
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     # bf16 residual stream (stream_dtype="bfloat16"): the WHOLE inter-block
     # tensor traffic — residuals, LN I/O, QKV layout transposes — moves at
     # half the HBM bytes. Distinct from the per-matmul `dtype` cast variant
@@ -228,10 +235,24 @@ class PointTransformerBlock(nn.Module):
             name="attn",
         )(h, pos_encoding, train)
         h = nn.LayerNorm(**ln_kw, name="norm2")(x)
-        x = x + FeedForward(
-            int(self.dim * self.mlp_ratio), self.dim, self.drop, cdt,
-            name="mlp",
-        )(h, train)
+        if self.num_experts > 0:
+            from .moe import MoEFeedForward
+
+            x = x + MoEFeedForward(
+                num_experts=self.num_experts,
+                hidden_dim=int(self.dim * self.mlp_ratio),
+                dim=self.dim,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dropout=self.drop,
+                dtype=cdt,
+                name="moe_mlp",
+            )(h, train)
+        else:
+            x = x + FeedForward(
+                int(self.dim * self.mlp_ratio), self.dim, self.drop, cdt,
+                name="mlp",
+            )(h, train)
         return x
 
 
@@ -264,6 +285,15 @@ class PointTransformerV3(nn.Module):
     # the f32 residual stream and each matmul. Kept for HBM-constrained
     # multi-chip serving where halving activation bytes matters.
     compute_dtype: Optional[str] = None
+    # Mixture-of-Experts FFN (beyond reference — models/moe.py): >0 swaps
+    # the dense GEGLU FFN for num_experts routed experts in every
+    # `moe_every`-th block (every other block by default, Switch-style; the
+    # dense blocks keep the token-local path cheap). Expert params carry a
+    # leading E axis that parallel/ep.py shards over an `expert` mesh axis.
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 2
     # bf16 RESIDUAL STREAM (distinct from compute_dtype's per-matmul casts):
     # the inter-block activations themselves are bf16 — residual adds, LN
     # I/O, QKV transposes, attention I/O all move half the HBM bytes with NO
@@ -316,6 +346,9 @@ class PointTransformerV3(nn.Module):
             pos = pos.astype(sdt)
 
         for i in range(self.depth):
+            moe_here = (
+                self.num_experts > 0 and i % self.moe_every == self.moe_every - 1
+            )
             x = PointTransformerBlock(
                 self.embed_dim,
                 self.num_heads,
@@ -326,7 +359,10 @@ class PointTransformerV3(nn.Module):
                 self.window_size,
                 self.sp_axis,
                 self.compute_dtype,
-                self.stream_dtype,
+                num_experts=self.num_experts if moe_here else 0,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                stream_dtype=self.stream_dtype,
                 name=f"block{i}",
             )(x, pos, train)
 

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict
 
 import flax.linen as nn
@@ -47,6 +48,9 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     "superpoint_graph": SuperpointGraph,
     "spt": SPTSegmenter,  # point-level SuperPointTransformer wrapper
     "superpoint_transformer": SPTSegmenter,
+    # beyond reference: MoE-FFN PTv3 (models/moe.py) — the expert-parallel
+    # scaling target (parallel/ep.py); every other block routes to 8 experts
+    "ptv3_moe": partial(PointTransformerV3, num_experts=8),
     "enhanced_pointnet2_ssg": EnhancedPointNet2SSG,  # older SSG+EPE variant
 }
 

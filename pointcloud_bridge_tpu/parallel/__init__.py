@@ -20,6 +20,7 @@ from .sharding import (
     state_shardings,
 )
 from .ring import ring_attention
+from .ep import make_ep_mesh, make_ep_train_step, ep_state_shardings
 from .sp import make_sp_forward, make_sp_train_step
 from .pp import (
     make_pp_forward,
@@ -33,6 +34,9 @@ from .pp import (
 
 __all__ = [
     "ring_attention",
+    "make_ep_mesh",
+    "make_ep_train_step",
+    "ep_state_shardings",
     "make_pp_forward",
     "make_pp_state",
     "make_pp_train_step",

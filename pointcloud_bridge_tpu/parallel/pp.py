@@ -60,6 +60,12 @@ def stack_ptv3_params(params: Dict[str, Any], depth: int) -> Dict[str, Any]:
     """{block0..block{L-1}, rest...} -> {'blocks': stacked[L,...], 'rest': {...}}."""
     params = dict(params)
     block_trees = [params.pop(f"block{i}") for i in range(depth)]
+    if any("moe_mlp" in t for t in block_trees):
+        raise ValueError(
+            "pipeline parallelism requires a homogeneous block stack; the "
+            "MoE model (num_experts>0) alternates dense/MoE blocks — use "
+            "expert parallelism (parallel/ep.py) for it instead"
+        )
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *block_trees)
     return {"blocks": stacked, "rest": params}
 
@@ -149,7 +155,7 @@ def _block_module(model) -> PointTransformerBlock:
         model.window_size,
         None,  # sp_axis: PP shards depth, not the point axis
         model.compute_dtype,
-        model.stream_dtype,
+        stream_dtype=model.stream_dtype,
     )
 
 
