@@ -7,6 +7,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libpcbpre.so preproc.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -155,6 +156,79 @@ void las_decode(const uint8_t* body, int64_t n, int32_t record_len,
     cls_out[i] = rec[cls_off] & static_cast<uint8_t>(cls_mask);
     if (rgb_off >= 0) std::memcpy(rgb_out + 3 * i, rec + rgb_off, 6);
   }
+}
+
+// ---------------------------------------------------------------------------
+// Sliding-grid cell membership (data/blocks.py::_grid_cell_members).
+//
+// A point covers a CONTIGUOUS run of overlapping windows per axis, found by
+// binary search on the monotone window-threshold arrays (identical
+// semantics to np.searchsorted: lo = searchsorted(hi_t, x, 'left'),
+// hi = searchsorted(lo_t, x, 'right') - 1). The numpy path then
+// materializes all (cell, point) pairs and stable-sorts by cell (~13M
+// int32 keys at 5M points); here a counting sort over cells replaces the
+// comparison sort entirely: histogram -> exclusive scan -> scatter in
+// ascending point order, which preserves the point-ascending-within-cell
+// contract by construction.
+
+// Pass 1: per-point window ranges + total pair count.
+int64_t grid_ranges(const double* xs, const double* ys, int64_t n,
+                    const double* lox, const double* hix, int64_t gx,
+                    const double* loy, const double* hiy, int64_t gy,
+                    int32_t* ix_lo, int32_t* ix_hi, int32_t* iy_lo,
+                    int32_t* iy_hi) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const double x = xs[i], y = ys[i];
+    // first window with hi >= x  (searchsorted left on the hi thresholds)
+    int64_t xl = std::lower_bound(hix, hix + gx, x) - hix;
+    // last window with lo <= x  (searchsorted right on the lo thresholds - 1)
+    int64_t xh = std::upper_bound(lox, lox + gx, x) - lox - 1;
+    int64_t yl = std::lower_bound(hiy, hiy + gy, y) - hiy;
+    int64_t yh = std::upper_bound(loy, loy + gy, y) - loy - 1;
+    ix_lo[i] = static_cast<int32_t>(xl);
+    ix_hi[i] = static_cast<int32_t>(xh);
+    iy_lo[i] = static_cast<int32_t>(yl);
+    iy_hi[i] = static_cast<int32_t>(yh);
+    const int64_t cx = xh >= xl ? xh - xl + 1 : 0;
+    const int64_t cy = yh >= yl ? yh - yl + 1 : 0;
+    total += cx * cy;
+  }
+  return total;
+}
+
+// Pass 2: counting-sort scatter. offsets: gx*gy+1 int64, filled with the
+// exclusive pair-count scan (cell c's point ids land at
+// point_out[offsets[c] : offsets[c+1]], ascending). Returns the number of
+// nonempty cells.
+int64_t grid_scatter(const int32_t* ix_lo, const int32_t* ix_hi,
+                     const int32_t* iy_lo, const int32_t* iy_hi, int64_t n,
+                     int64_t gx, int64_t gy, int64_t* offsets,
+                     int32_t* point_out) {
+  const int64_t cells = gx * gy;
+  std::vector<int64_t> cnt(cells, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t jy = iy_lo[i]; jy <= iy_hi[i]; ++jy) {
+      const int64_t base = jy * gx;
+      for (int64_t jx = ix_lo[i]; jx <= ix_hi[i]; ++jx) cnt[base + jx] += 1;
+    }
+  }
+  int64_t run = 0, nonempty = 0;
+  for (int64_t c = 0; c < cells; ++c) {
+    offsets[c] = run;
+    run += cnt[c];
+    if (cnt[c]) ++nonempty;
+  }
+  offsets[cells] = run;
+  std::vector<int64_t> cur(offsets, offsets + cells);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t jy = iy_lo[i]; jy <= iy_hi[i]; ++jy) {
+      const int64_t base = jy * gx;
+      for (int64_t jx = ix_lo[i]; jx <= ix_hi[i]; ++jx)
+        point_out[cur[base + jx]++] = static_cast<int32_t>(i);
+    }
+  }
+  return nonempty;
 }
 
 }  // extern "C"

@@ -324,6 +324,24 @@ def _grid_cell_members(
     loy_t, hiy_t = _axis_windows(
         coord_min[1], coord_max[1], grid_y, block_size, stride, padding
     )
+    import os
+
+    from . import native
+
+    if (
+        os.environ.get("PCB_NATIVE_GRID", "1") != "0"
+        and native.native_available()
+    ):
+        # C++ counting sort (native/preproc.cpp::grid_ranges/grid_scatter):
+        # same searchsorted semantics, but the 13M-pair expansion + stable
+        # argsort become two passes with no comparison sort and no int
+        # temporaries — equality vs this numpy path is tested directly.
+        res = native.grid_cell_members(x, y, lox_t, hix_t, loy_t, hiy_t)
+        if res is not None:
+            offsets, pids = res
+            for c in np.flatnonzero(np.diff(offsets)):
+                yield int(c), pids[offsets[c] : offsets[c + 1]]
+            return
     # x >= lo[i]  <=>  i < searchsorted(lo, x, 'right')
     # x <= hi[i]  <=>  i >= searchsorted(hi, x, 'left')
     # int32 throughout: this host pays ~100us per fresh 4K page (sandboxed

@@ -49,6 +49,8 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.voxel_centroids.restype = ctypes.c_int64
             lib.label_histogram.restype = None
             lib.las_decode.restype = None
+            lib.grid_ranges.restype = ctypes.c_int64
+            lib.grid_scatter.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -212,6 +214,51 @@ def las_decode(
         _ptr(inten, ctypes.c_uint16),
     )
     return xyz, (rgb if rgb_off >= 0 else None), cls, inten
+
+
+def grid_cell_members(
+    x: np.ndarray,
+    y: np.ndarray,
+    lox: np.ndarray,
+    hix: np.ndarray,
+    loy: np.ndarray,
+    hiy: np.ndarray,
+):
+    """Counting-sort sliding-grid membership (native/preproc.cpp
+    ::grid_ranges/::grid_scatter). Returns (offsets int64 [gx*gy+1],
+    point_ids int32 [total]) with cell c's members at
+    point_ids[offsets[c]:offsets[c+1]], ascending — the exact
+    blocks.py::_grid_cell_members contract — or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    lox = np.ascontiguousarray(lox, np.float64)
+    hix = np.ascontiguousarray(hix, np.float64)
+    loy = np.ascontiguousarray(loy, np.float64)
+    hiy = np.ascontiguousarray(hiy, np.float64)
+    n, gx, gy = len(x), len(lox), len(loy)
+    rng = [np.empty(n, np.int32) for _ in range(4)]
+    total = lib.grid_ranges(
+        _ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double), ctypes.c_int64(n),
+        _ptr(lox, ctypes.c_double), _ptr(hix, ctypes.c_double),
+        ctypes.c_int64(gx),
+        _ptr(loy, ctypes.c_double), _ptr(hiy, ctypes.c_double),
+        ctypes.c_int64(gy),
+        _ptr(rng[0], ctypes.c_int32), _ptr(rng[1], ctypes.c_int32),
+        _ptr(rng[2], ctypes.c_int32), _ptr(rng[3], ctypes.c_int32),
+    )
+    offsets = np.empty(gx * gy + 1, np.int64)
+    point_ids = np.empty(total, np.int32)
+    lib.grid_scatter(
+        _ptr(rng[0], ctypes.c_int32), _ptr(rng[1], ctypes.c_int32),
+        _ptr(rng[2], ctypes.c_int32), _ptr(rng[3], ctypes.c_int32),
+        ctypes.c_int64(n), ctypes.c_int64(gx), ctypes.c_int64(gy),
+        _ptr(offsets, ctypes.c_int64), _ptr(point_ids, ctypes.c_int32),
+    )
+    return offsets, point_ids
 
 
 def native_available() -> bool:

@@ -38,6 +38,50 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def upcycle_dense_to_moe(dense_params, moe_params):
+    """Sparse upcycling (Komatsuzaki et al.): initialize a ptv3_moe param
+    tree from a trained dense PTv3 checkpoint by copying every shared
+    parameter and replicating each converted block's dense GEGLU FFN into
+    all of its experts (routers keep their fresh init — with identical
+    experts the routing choice is output-neutral, so training starts from
+    the dense model's function).
+
+    Exactness property (tested): with capacity_factor >= num_experts (no
+    token drops) the upcycled MoE model's forward equals the dense model's
+    bitwise-modulo-reassociation, because the renormalized gates sum to 1
+    over identical experts.
+    """
+    def _as_mut(d):
+        return {k: _as_mut(v) if isinstance(v, dict) else v for k, v in d.items()}
+
+    out = _as_mut(moe_params)
+    for name, blk in dense_params.items():
+        if name not in out:
+            continue
+        if not (isinstance(blk, dict) and "moe_mlp" in out.get(name, {})):
+            out[name] = blk
+            continue
+        # converted block: copy attn/norms, tile the dense FFN into experts
+        tgt = out[name]
+        for k, v in blk.items():
+            if k != "mlp":
+                tgt[k] = v
+        moe = tgt["moe_mlp"]
+        E = moe["experts_proj_kernel"].shape[0]
+        ffn = blk["mlp"]
+        moe["experts_proj_kernel"] = jnp.tile(
+            ffn["geglu"]["proj"]["kernel"][None], (E, 1, 1)
+        )
+        moe["experts_proj_bias"] = jnp.tile(
+            ffn["geglu"]["proj"]["bias"][None], (E, 1)
+        )
+        moe["experts_out_kernel"] = jnp.tile(
+            ffn["out"]["kernel"][None], (E, 1, 1)
+        )
+        moe["experts_out_bias"] = jnp.tile(ffn["out"]["bias"][None], (E, 1))
+    return out
+
+
 def _group_size(total: int, max_group: int) -> int:
     """Largest divisor of `total` that is <= max_group (static, trace-time)."""
     g = min(max_group, total)

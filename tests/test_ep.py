@@ -182,6 +182,35 @@ def test_ep_training_updates_experts_and_learns():
     assert all(np.isfinite(losses))
 
 
+def test_upcycle_dense_to_moe_preserves_function():
+    # sparse upcycling: identical experts + renormalized gates + no-drop
+    # capacity => the MoE model computes exactly the dense model's function
+    from pointcloud_bridge_tpu.models.moe import upcycle_dense_to_moe
+
+    kw = dict(num_classes=5, embed_dim=32, depth=2, num_heads=2)
+    E = 4
+    dense = get_model("ptv3", **kw)
+    moe = get_model("ptv3_moe", **kw, num_experts=E,
+                    moe_capacity_factor=float(E))
+    batch = _tiny_moe_batch(np.random.default_rng(4))
+    dv = dense.init(jax.random.PRNGKey(0), batch["points"], batch["colors"],
+                    train=False)
+    mv = moe.init(jax.random.PRNGKey(1), batch["points"], batch["colors"],
+                  train=False)
+    up = upcycle_dense_to_moe(dv["params"], mv["params"])
+    y_dense = dense.apply(
+        {"params": dv["params"], "batch_stats": dv["batch_stats"]},
+        batch["points"], batch["colors"], train=False,
+    )
+    y_moe = moe.apply(
+        {"params": up, "batch_stats": dv["batch_stats"]},
+        batch["points"], batch["colors"], train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_moe), np.asarray(y_dense), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_pp_rejects_moe_models():
     from pointcloud_bridge_tpu.parallel import stack_ptv3_params
 

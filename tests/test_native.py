@@ -85,3 +85,32 @@ def test_las_decode_native_matches_numpy(tmp_path, rng):
     np.testing.assert_array_equal(fast.rgb, slow.rgb)
     np.testing.assert_array_equal(fast.classification, slow.classification)
     np.testing.assert_array_equal(fast.intensity, slow.intensity)
+
+
+def test_grid_cell_members_native_matches_numpy(rng, monkeypatch):
+    from pointcloud_bridge_tpu.data import blocks
+
+    pts = np.zeros((20000, 6), np.float32)
+    pts[:, 0] = rng.uniform(0, 23.7, 20000)
+    pts[:, 1] = rng.uniform(0, 11.3, 20000)
+    pts[:, 2] = rng.uniform(0, 4, 20000)
+    cmin = pts[:, :3].min(axis=0)
+    cmax = pts[:, :3].max(axis=0)
+    bs, stride, pad = 5.0, 2.5, 0.001
+    gx = int(np.ceil((cmax[0] - cmin[0] - bs) / stride) + 1)
+    gy = int(np.ceil((cmax[1] - cmin[1] - bs) / stride) + 1)
+
+    def run():
+        return list(
+            blocks._grid_cell_members(pts, cmin, cmax, gx, gy, bs, stride, pad)
+        )
+
+    monkeypatch.setenv("PCB_NATIVE_GRID", "0")
+    ref = run()
+    monkeypatch.setenv("PCB_NATIVE_GRID", "1")
+    assert native.native_available()
+    got = run()
+    assert len(got) == len(ref)
+    for (ca, pa), (cb, pb) in zip(got, ref):
+        assert ca == cb
+        np.testing.assert_array_equal(pa, pb)
