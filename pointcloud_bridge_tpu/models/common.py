@@ -60,12 +60,41 @@ class SharedMLP(nn.Module):
         return x
 
 
+def sp_shard_slice(t: jax.Array, axis_name: str) -> jax.Array:
+    """This shard's contiguous block of t's axis 1 under a named mesh axis
+    (sequence parallelism for neighborhood models: the query/point axis is
+    split into P equal contiguous slices in axis-index order, so
+    all_gather(..., axis=1, tiled=True) reconstructs the full axis)."""
+    p = jax.lax.axis_size(axis_name)
+    n = t.shape[1]
+    if n % p:
+        raise ValueError(
+            f"sequence-parallel axis of length {n} must divide the mesh "
+            f"axis size {p}"
+        )
+    s = n // p
+    return jax.lax.dynamic_slice_in_dim(
+        t, jax.lax.axis_index(axis_name) * s, s, axis=1
+    )
+
+
 class SetAbstraction(nn.Module):
     """PointNet++ single-scale set abstraction.
 
     Mirrors Highway_bridge/models/pointnet2_utils.py:115-156: FPS -> ball query
     -> center-relative concat -> shared MLP -> max over neighbors.
     Channel-last: features [B, N, C] -> ([B, npoint, 3], [B, npoint, mlp[-1]]).
+
+    sp_axis (sequence parallelism, parallel/sp.py): inputs arrive FULL
+    (replicated across the mesh axis); FPS runs replicated — it is a
+    sequential global selection, and every device running the same
+    latency-bound kernel concurrently costs no extra wall time — while the
+    hot per-query work (ball query, neighbor grouping, shared MLP, pooling)
+    runs on this shard's 1/P slice of the query axis; outputs are
+    all_gathered back to full. Exact by construction: the sharded program
+    computes the same per-query math on a partition of the queries. BN
+    moments span the global query axis via axis_name (set it to include
+    sp_axis when training).
     """
 
     npoint: int
@@ -74,6 +103,7 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int]
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -84,12 +114,18 @@ class SetAbstraction(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         fps_idx = farthest_point_sample(xyz, self.npoint)
         new_xyz = index_points(xyz, fps_idx)
-        idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-        grouped = group_points(xyz, new_xyz, idx, features)  # [B,S,K,3+C]
+        q_xyz = sp_shard_slice(new_xyz, self.sp_axis) if self.sp_axis else new_xyz
+        idx = query_ball_point(self.radius, self.nsample, xyz, q_xyz)
+        grouped = group_points(xyz, q_xyz, idx, features)  # [B,S,K,3+C]
         out = SharedMLP(
             self.mlp, axis_name=self.axis_name, dtype=self.dtype, name="mlp"
         )(grouped, train=train)
-        return new_xyz, jnp.max(out, axis=2)
+        pooled = jnp.max(out, axis=2)
+        if self.sp_axis:
+            pooled = jax.lax.all_gather(
+                pooled, self.sp_axis, axis=1, tiled=True
+            )
+        return new_xyz, pooled
 
 
 class MultiScaleSetAbstraction(nn.Module):
@@ -137,6 +173,7 @@ class MultiScaleSetAbstractionMsg(nn.Module):
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
     axis_name: Optional[str] = None
+    sp_axis: Optional[str] = None  # same contract as SetAbstraction.sp_axis
 
     @nn.compact
     def __call__(
@@ -147,17 +184,21 @@ class MultiScaleSetAbstractionMsg(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         fps_idx = farthest_point_sample(xyz, self.npoint)
         new_xyz = index_points(xyz, fps_idx)
+        q_xyz = sp_shard_slice(new_xyz, self.sp_axis) if self.sp_axis else new_xyz
         scale_feats = []
         for i, (radius, nsample) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            idx = query_ball_point(radius, nsample, xyz, new_xyz)
-            grouped = group_points(xyz, new_xyz, idx, features)
+            idx = query_ball_point(radius, nsample, xyz, q_xyz)
+            grouped = group_points(xyz, q_xyz, idx, features)
             out = SharedMLP(
                 self.mlp_list[i], axis_name=self.axis_name, name=f"mlp_{i}"
             )(grouped, train=train)
             scale_feats.append(jnp.max(out, axis=2))
-        return new_xyz, jnp.concatenate(scale_feats, axis=-1)
+        out = jnp.concatenate(scale_feats, axis=-1)
+        if self.sp_axis:
+            out = jax.lax.all_gather(out, self.sp_axis, axis=1, tiled=True)
+        return new_xyz, out
 
 
 class FeaturePropagation(nn.Module):
@@ -170,6 +211,12 @@ class FeaturePropagation(nn.Module):
     mlp: Sequence[int]
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # sequence parallelism: slice the FINE (target) point axis to this
+    # shard's 1/P block; sources stay full. sp_gather=False leaves the
+    # output sharded (the last FP feeds a pointwise head that can stay
+    # sharded until the final logits all_gather).
+    sp_axis: Optional[str] = None
+    sp_gather: bool = True
 
     @nn.compact
     def __call__(
@@ -180,6 +227,10 @@ class FeaturePropagation(nn.Module):
         feats_coarse: jax.Array,
         train: bool = False,
     ) -> jax.Array:
+        if self.sp_axis:
+            xyz_fine = sp_shard_slice(xyz_fine, self.sp_axis)
+            if feats_fine is not None:
+                feats_fine = sp_shard_slice(feats_fine, self.sp_axis)
         interp = three_nn_interpolate(
             xyz_fine, xyz_coarse, feats_coarse.astype(jnp.float32), k=3
         )
@@ -187,9 +238,12 @@ class FeaturePropagation(nn.Module):
             interp = jnp.concatenate(
                 [feats_fine.astype(jnp.float32), interp], axis=-1
             )
-        return SharedMLP(
+        out = SharedMLP(
             self.mlp, axis_name=self.axis_name, dtype=self.dtype, name="mlp"
         )(interp, train=train)
+        if self.sp_axis and self.sp_gather:
+            out = jax.lax.all_gather(out, self.sp_axis, axis=1, tiled=True)
+        return out
 
 
 class EnhancedFeaturePropagation(nn.Module):

@@ -1,4 +1,8 @@
-"""Sequence-parallel (SP) execution of PTv3 over the point axis.
+"""Sequence-parallel (SP) execution over the point axis.
+
+Two modes: PTv3 (shard_inputs=True, ring attention over sharded points) and
+the neighborhood models (shard_inputs=False, PointNet2 SSG/MSG — replicated
+inputs, query-axis sharding inside the model; see models/common.py).
 
 SURVEY §2.9 SP/CP row: shard the N point axis of a block across the mesh so
 global attention spans the whole cloud while every device holds only N/P
@@ -28,18 +32,25 @@ from ..train.loop import TrainState
 
 
 def make_sp_forward(model, mesh: Mesh, axis: str = "sp",
-                    dp_axis: Optional[str] = None):
+                    dp_axis: Optional[str] = None,
+                    shard_inputs: bool = True):
     """jit'd forward with xyz/feats/logits sharded over the N (point) axis.
 
     `model` must be constructed with sp_axis=`axis`. dp_axis: composite
     dp x sp on a 2-D mesh — the BATCH axis is additionally sharded over
     `dp_axis` (each dp replica ring-attends over its own shard's points).
+
+    shard_inputs=False is the NEIGHBORHOOD-model mode (PointNet2 family):
+    inputs arrive replicated over `axis` (FPS and ball-query sources need
+    the full cloud); the model slices the query axis internally
+    (models/common.py sp_axis) and all_gathers full logits, so batch
+    tensors and logits shard over dp only.
     """
 
     def per_shard(variables, xyz, feats):
         return model.apply(variables, xyz, feats, train=False)
 
-    bspec = P(dp_axis, axis)
+    bspec = P(dp_axis, axis) if shard_inputs else P(dp_axis)
     sharded = shard_map(
         per_shard,
         mesh=mesh,
@@ -53,6 +64,7 @@ def make_sp_forward(model, mesh: Mesh, axis: str = "sp",
 def make_sp_train_step(
     model, loss_cfg, optimizer, mesh: Mesh, axis: str = "sp",
     donate: bool = True, dp_axis: Optional[str] = None,
+    shard_inputs: bool = True,
 ):
     """SP train step: points/labels sharded over N, params replicated.
 
@@ -75,6 +87,15 @@ def make_sp_train_step(
     mean over every shard of every example), grads/BN-stats pmean over both,
     and the model must use axis_name=(dp_axis, axis) so BN moments span the
     full (batch x point) extent — exactness vs single-device is asserted in
+    tests/test_parallel.py.
+
+    shard_inputs=False (neighborhood models, PointNet2 family): batch
+    tensors arrive replicated over `axis` and the model slices/gathers the
+    query axis internally, returning FULL logits on every shard. The same
+    decomposed-loss algebra holds: the sp-psum scales numerator and
+    denominator by P equally (ratio unchanged) and local grads behind the
+    model's internal all_gathers are P x their additive contribution, which
+    the pmean cancels — exactness vs single-device is asserted in
     tests/test_parallel.py.
     """
     if loss_cfg.name not in ("ce", "weighted_ce"):
@@ -136,7 +157,9 @@ def make_sp_train_step(
         )
         return new_state, {"loss": loss, "acc": acc}
 
-    bspec = P(dp_axis, axis)  # dp_axis=None -> batch dim replicated
+    bspec = (
+        P(dp_axis, axis) if shard_inputs else P(dp_axis)
+    )  # dp_axis=None -> batch dim replicated
     batch_spec = {"points": bspec, "colors": bspec, "labels": bspec}
     sharded = shard_map(
         per_shard,
