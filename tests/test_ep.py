@@ -222,3 +222,49 @@ def test_pp_rejects_moe_models():
     )
     with pytest.raises(ValueError, match="expert parallelism"):
         stack_ptv3_params(variables["params"], 2)
+
+
+def test_ep_sharded_checkpoint_roundtrip(tmp_path):
+    # an expert-sharded TrainState must survive save/restore and resume on
+    # a DIFFERENT mesh shape (checkpoints are layout-free host trees)
+    from pointcloud_bridge_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+
+    model = get_model("ptv3_moe", num_classes=5, embed_dim=32, depth=2,
+                      num_heads=2, num_experts=4)
+    batch = _tiny_moe_batch(np.random.default_rng(5))
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(model, key, batch, opt)
+    cfg = Config()
+    step, place = make_ep_train_step(model, cfg.loss, opt, make_ep_mesh(2, 4))
+    state, b = place(state, batch)
+    state, _ = step(state, b, jnp.float32(1e-3), jnp.ones(5, jnp.float32), key)
+
+    path = str(tmp_path / "ckpt")
+    host_state = jax.device_get(state)
+    save_checkpoint(path, {"params": host_state.params,
+                           "batch_stats": host_state.batch_stats,
+                           "opt_state": host_state.opt_state,
+                           "step": int(host_state.step)})
+    restored = restore_checkpoint(path, {"params": host_state.params,
+                                         "batch_stats": host_state.batch_stats,
+                                         "opt_state": host_state.opt_state})
+    flat_a = jax.tree_util.tree_leaves(host_state.params)
+    flat_b = jax.tree_util.tree_leaves(restored["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b2 in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+    # resume on a different mesh shape
+    from pointcloud_bridge_tpu.train.loop import TrainState
+
+    state2 = TrainState(step=jnp.int32(1), params=restored["params"],
+                        batch_stats=restored["batch_stats"],
+                        opt_state=restored["opt_state"])
+    step2, place2 = make_ep_train_step(model, cfg.loss, opt, make_ep_mesh(4, 2))
+    state2, b2_ = place2(state2, batch)
+    state2, m2 = step2(state2, b2_, jnp.float32(1e-3),
+                       jnp.ones(5, jnp.float32), key)
+    assert np.isfinite(float(m2["loss"]))
