@@ -21,6 +21,7 @@ from .sharding import (
 )
 from .ring import ring_attention
 from .ep import make_ep_mesh, make_ep_train_step, ep_state_shardings
+from .fsdp import fsdp_state_shardings, make_fsdp_mesh, make_fsdp_train_step
 from .sp import make_sp_forward, make_sp_train_step
 from .pp import (
     make_pp_forward,
@@ -37,6 +38,9 @@ __all__ = [
     "make_ep_mesh",
     "make_ep_train_step",
     "ep_state_shardings",
+    "make_fsdp_mesh",
+    "make_fsdp_train_step",
+    "fsdp_state_shardings",
     "make_pp_forward",
     "make_pp_state",
     "make_pp_train_step",
