@@ -67,6 +67,24 @@ class TrainConfig:
     # thread while the current step runs (DataLoader-workers equivalent;
     # train/loop.py::prefetch_to_device). 0/1 = synchronous.
     prefetch: int = 2
+    # gradient accumulation: >1 splits each batch into this many equal
+    # microbatches, averages their grads, and applies ONE optimizer update —
+    # the effective batch is batch_size with 1/accum_steps of the activation
+    # memory. BatchNorm moments are per-microbatch (running stats chain
+    # sequentially), the standard accumulation semantics. Microbatches run
+    # as an UNROLLED python loop inside one jit (Pallas kernels mis-compile
+    # in lax.scan bodies on this stack — CLAUDE.md).
+    accum_steps: int = 1
+    # exponential moving average of params (>0 enables; 0.999 typical):
+    # ema = d*ema + (1-d)*params after every step (one fused elementwise
+    # kernel, stays on device). Validation and the best_model checkpoint use
+    # the EMA weights (the deployed set); latest_checkpoint keeps raw params
+    # and the EMA tree rides its own latest_ema checkpoint for exact resume.
+    ema_decay: float = 0.0
+    # linear LR warmup over the first N epochs (multiplier epoch/N, applied
+    # on top of whichever scheduler is active; 0 disables). Standard for the
+    # transformer models (ptv3); the reference has no warmup.
+    warmup_epochs: int = 0
 
 
 @dataclass

@@ -94,9 +94,16 @@ def _attention(q, k, v, is_global: bool = True):
     # tuned block sizes target the global N=4096 regime; a windowed model
     # with window_size >= 1024 would otherwise slip into an untested
     # shape/perf regime purely via the length check.
+    # A `jax.default_device(cpu)` context (the init-params-on-CPU pattern —
+    # CLAUDE.md) must skip the kernel even though the default BACKEND is
+    # still TPU: under nn.remat the block body is traced to a jaxpr first,
+    # so a Pallas-on-CPU failure would surface at eval time OUTSIDE the
+    # try/except below.
+    dd = getattr(jax.config, "jax_default_device", None)
     if (
         os.environ.get("PCB_FLASH_ATTN", "1") != "0"
         and jax.default_backend() == "tpu"
+        and not (dd is not None and dd.platform == "cpu")
         and is_global
         and n % 512 == 0
         and n >= 1024  # tiny-N (tests/CPU-sized inputs) keeps the XLA path
@@ -302,6 +309,15 @@ class PointTransformerV3(nn.Module):
     # non-attention ~15 ms of ptv3_big is HBM-bound elementwise traffic
     # (PARITY speed-of-light), which this targets directly.
     stream_dtype: Optional[str] = None
+    # Rematerialization (gradient checkpointing): wrap every trunk block in
+    # jax.checkpoint so the backward pass saves only the [B, N, C] block
+    # boundaries and recomputes each block's internals — activation memory
+    # O(depth·B·N·C) instead of O(depth·B·H·N·N + ...), the standard TPU
+    # trade of MXU FLOPs for HBM (scaling-book recipe). Same param tree
+    # (checkpoint-compatible) and same math — grads are identical up to
+    # recompute reassociation (tested). Blocks hold no BatchNorm (the head
+    # BN sits outside), so no mutable collections cross the remat boundary.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -345,11 +361,18 @@ class PointTransformerV3(nn.Module):
             x = x.astype(sdt)
             pos = pos.astype(sdt)
 
+        # static_argnums counts (self, x, pos_encoding, train): train (3)
+        # feeds Python control flow (deterministic=) so it must stay static
+        block_cls = (
+            nn.remat(PointTransformerBlock, static_argnums=(3,))
+            if self.remat
+            else PointTransformerBlock
+        )
         for i in range(self.depth):
             moe_here = (
                 self.num_experts > 0 and i % self.moe_every == self.moe_every - 1
             )
-            x = PointTransformerBlock(
+            x = block_cls(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,

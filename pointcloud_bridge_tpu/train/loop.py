@@ -167,6 +167,80 @@ def make_train_step(model, loss_cfg, optimizer, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_accum_train_step(
+    model, loss_cfg, optimizer, accum_steps: int, donate: bool = True
+):
+    """Gradient-accumulation train step: the [B, ...] batch splits into
+    `accum_steps` equal microbatches; grads average across them and the
+    optimizer applies ONE update — effective batch B at 1/accum_steps the
+    activation memory. No reference counterpart (the reference trains at
+    batch 16 single-GPU); standard accumulation semantics: BatchNorm batch
+    moments are per-microbatch and the running stats chain sequentially
+    (exactly what a sequential small-batch run does to them), while the
+    update uses the full-batch mean gradient (mean of equal-size microbatch
+    means == the full-batch mean for per-point mean losses).
+
+    Microbatches run as an UNROLLED python loop inside one jit: iteration
+    count is static, and Pallas kernels mis-compile inside lax.scan bodies
+    on this stack (CLAUDE.md).
+    """
+    loss_fn = _loss_fn_for(loss_cfg)
+
+    def step(state: TrainState, batch, lr, class_weights, rng):
+        def micro(i, bs_in):
+            mb = {
+                k: jnp.reshape(
+                    v, (accum_steps, v.shape[0] // accum_steps) + v.shape[1:]
+                )[i]
+                for k, v in batch.items()
+                if k in ("points", "colors", "labels")
+            }
+
+            def compute_loss(params):
+                logits, mutated = model.apply(
+                    {"params": params, "batch_stats": bs_in},
+                    mb["points"], mb["colors"], train=True,
+                    rngs={"dropout": jax.random.fold_in(
+                        rng, state.step * accum_steps + i
+                    )},
+                    mutable=["batch_stats"],
+                )
+                loss = loss_fn(logits, mb["labels"], mb["points"], class_weights)
+                return loss, (logits, mutated["batch_stats"])
+
+            (loss, (logits, bs_out)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == mb["labels"]).astype(jnp.float32)
+            )
+            return loss, acc, grads, bs_out
+
+        bs = state.batch_stats
+        losses, accs, grad_sum = [], [], None
+        for i in range(accum_steps):
+            loss, acc, grads, bs = micro(i, bs)
+            losses.append(loss)
+            accs.append(acc)
+            grad_sum = grads if grad_sum is None else jax.tree.map(
+                jnp.add, grad_sum, grads
+            )
+        grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=bs, opt_state=new_opt,
+        )
+        return new_state, {
+            "loss": jnp.mean(jnp.stack(losses)),
+            "acc": jnp.mean(jnp.stack(accs)),
+        }
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model, num_classes: int):
     def step(params, batch_stats, batch, class_weights):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
@@ -256,6 +330,24 @@ def train(
             )
             start_epoch = int(restored.get("epoch", 0)) + 1
             logger.info(f"resumed from {ckpt_path} at epoch {start_epoch}")
+
+    ema_params = None
+    if getattr(tcfg, "ema_decay", 0.0) > 0.0:
+        d = float(tcfg.ema_decay)
+        # genuine copy: train_step donates the state, so aliasing
+        # state.params here would hand the EMA tree deleted buffers
+        ema_params = jax.tree.map(jnp.copy, state.params)
+        ema_path = os.path.join(exp_dir, "latest_ema")
+        if start_epoch > 1 and os.path.exists(ema_path):
+            # resumed: recover the EMA tree (its own checkpoint dir so the
+            # main latest_checkpoint tree stays EMA-agnostic for consumers)
+            ema_params = restore_checkpoint(
+                ema_path, {"params": state.params}
+            )["params"]
+            logger.info("resumed EMA params")
+        ema_update = jax.jit(
+            lambda e, p: jax.tree.map(lambda a, b: d * a + (1.0 - d) * b, e, p)
+        )
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     logger.info(
         f"model={mcfg.name} params={n_params:,} classes={mcfg.num_classes} "
@@ -287,8 +379,23 @@ def train(
 
         def put_batch(b):
             return shard_batch(b, mesh, config.parallel.data_axis)
+
+        if ema_params is not None:
+            ema_params = replicate(ema_params, mesh)
     else:
-        train_step = make_train_step(model, config.loss, optimizer, tcfg.donate)
+        if getattr(tcfg, "accum_steps", 1) > 1:
+            if tcfg.batch_size % tcfg.accum_steps:
+                raise ValueError(
+                    f"batch_size {tcfg.batch_size} not divisible by "
+                    f"accum_steps {tcfg.accum_steps}"
+                )
+            train_step = make_accum_train_step(
+                model, config.loss, optimizer, tcfg.accum_steps, tcfg.donate
+            )
+        else:
+            train_step = make_train_step(
+                model, config.loss, optimizer, tcfg.donate
+            )
         eval_step = make_eval_step(model, mcfg.num_classes)
 
         def put_batch(b):
@@ -312,6 +419,13 @@ def train(
                 tcfg.learning_rate, epoch - 1, tcfg.step_decay, tcfg.step_every,
                 tcfg.min_lr,
             )
+        # linear warmup multiplies whatever the scheduler chose; `lr` itself
+        # is left untouched so plateau's carried-over state doesn't compound
+        # the warmup factor across epochs
+        eff_lr = lr
+        wu = getattr(tcfg, "warmup_epochs", 0)
+        if wu > 0 and epoch <= wu:
+            eff_lr = lr * epoch / wu
 
         t0 = time.time()
         # Metrics stay ON DEVICE during the epoch and are fetched once at the
@@ -327,8 +441,10 @@ def train(
             tcfg.prefetch,
         ):
             state, m = train_step(
-                state, batch, jnp.float32(lr), class_weights, rng
+                state, batch, jnp.float32(eff_lr), class_weights, rng
             )
+            if ema_params is not None:
+                ema_params = ema_update(ema_params, state.params)
             step_metrics.append(m)
         nb = len(step_metrics)
         if nb:
@@ -340,12 +456,15 @@ def train(
 
         row = {
             "epoch": epoch,
-            "lr": lr,
+            "lr": eff_lr,
             "train_loss": tr_loss,
             "train_acc": tr_acc,
             "epoch_time_s": time.time() - t0,
         }
 
+        # validate (and checkpoint best) with the deployed weight set: the
+        # EMA tree when enabled, raw params otherwise
+        eval_params = ema_params if ema_params is not None else state.params
         if val_ds is not None and len(val_ds) > 0:
             cms, losses = [], []  # device-side; fetched once after the loop
             for batch in prefetch_to_device(
@@ -354,7 +473,7 @@ def train(
                 tcfg.prefetch,
             ):
                 cm, loss = eval_step(
-                    state.params, state.batch_stats, batch, class_weights
+                    eval_params, state.batch_stats, batch, class_weights
                 )
                 cms.append(cm)
                 losses.append(loss)
@@ -381,7 +500,7 @@ def train(
                 save_checkpoint(
                     os.path.join(exp_dir, "best_model"),
                     {
-                        "params": state.params,
+                        "params": eval_params,
                         "batch_stats": state.batch_stats,
                         "opt_state": state.opt_state,
                         "epoch": epoch,
@@ -398,6 +517,10 @@ def train(
                 "epoch": epoch,
             },
         )
+        if ema_params is not None:  # raw (above) + EMA: exact resume
+            save_checkpoint(
+                os.path.join(exp_dir, "latest_ema"), {"params": ema_params}
+            )
         history.append(row)
         writer.write(epoch, {k: v for k, v in row.items() if k != "epoch"})
         logger.info(

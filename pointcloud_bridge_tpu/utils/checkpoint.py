@@ -71,10 +71,28 @@ def restore_checkpoint(
                 tree = ckptr.restore(path, target)
             except ValueError:
                 # target is a subset of the stored tree (e.g. inference wants
-                # only params/batch_stats, not opt_state): restore the full
-                # tree and project it onto the requested top-level keys
+                # only params/batch_stats, not opt_state; or a pre-EMA target
+                # against an EMA-bearing checkpoint): restore the full tree,
+                # project it onto the requested top-level keys, and re-impose
+                # each target's pytree structure — a targetless orbax restore
+                # yields raw dicts, which would hand optax namedtuple states
+                # back as dicts and crash the resumed optimizer.
+                from flax import serialization
+
+                def as_state_dict(v):
+                    # orbax's targetless restore yields lists for sequence
+                    # nodes; flax state dicts spell those as {'0': ..., ...}
+                    if isinstance(v, list):
+                        return {str(i): as_state_dict(x) for i, x in enumerate(v)}
+                    if isinstance(v, dict):
+                        return {k: as_state_dict(x) for k, x in v.items()}
+                    return v
+
                 full = ckptr.restore(path)
-                tree = {k: full[k] for k in target}
+                tree = {
+                    k: serialization.from_state_dict(target[k], as_state_dict(full[k]))
+                    for k in target
+                }
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:

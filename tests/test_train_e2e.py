@@ -101,3 +101,59 @@ def test_prefetch_to_device_order_and_errors():
 
     with pytest.raises(RuntimeError, match="conversion failed"):
         list(prefetch_to_device(iter(batches), boom, size=2))
+
+
+@pytest.mark.slow
+def test_ema_and_warmup(tmp_path):
+    """ema_decay>0: EMA weights are validated/deployed (best_model) and the
+    EMA tree rides latest_checkpoint for exact resume; warmup_epochs ramps
+    the logged lr linearly on top of the base scheduler."""
+    import jax
+
+    from pointcloud_bridge_tpu.train import train
+    from pointcloud_bridge_tpu.utils.checkpoint import restore_checkpoint
+
+    tr, va = _tiny_datasets()
+    cfg = Config.from_dict(
+        {
+            "num_classes": 5,
+            "batch_size": 4,
+            "num_epochs": 4,
+            "learning_rate": 1e-3,
+            "model": "pointnet2_ssg",
+        }
+    )
+    cfg.model.extra = {"sa_npoints": (64, 32, 16)}
+    cfg.train.scheduler = "step"  # 0.7^(epoch//10): constant over 4 epochs
+    cfg.train.warmup_epochs = 4
+    cfg.train.ema_decay = 0.5
+    out = train(cfg, tr, va, exp_dir=str(tmp_path / "exp"))
+
+    lrs = [row["lr"] for row in out["history"]]
+    np.testing.assert_allclose(lrs, [2.5e-4, 5e-4, 7.5e-4, 1e-3], rtol=1e-6)
+
+    state = out["state"]
+    latest = restore_checkpoint(
+        str(tmp_path / "exp" / "latest_checkpoint"), {"params": state.params}
+    )
+    ema = restore_checkpoint(
+        str(tmp_path / "exp" / "latest_ema"), {"params": state.params}
+    )
+    # EMA lags the raw params (decay 0.5, a few epochs of movement)
+    deltas = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(
+            jax.tree.leaves(latest["params"]), jax.tree.leaves(ema["params"])
+        )
+    ]
+    assert max(deltas) > 0.0
+    # best_model stores the deployed (EMA) set: its tree matches params'
+    best = restore_checkpoint(
+        str(tmp_path / "exp" / "best_model"), {"params": state.params}
+    )
+    assert jax.tree.structure(best["params"]) == jax.tree.structure(state.params)
+
+    # resume must pick the EMA tree back up without crashing
+    cfg.train.num_epochs = 5
+    out2 = train(cfg, tr, va, exp_dir=str(tmp_path / "exp"), resume=True)
+    assert out2["history"][-1]["epoch"] == 5
