@@ -30,6 +30,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-epoch end-to-end runs (minutes on CPU)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
