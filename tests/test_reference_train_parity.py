@@ -41,7 +41,7 @@ def ref_pkg():
     import importlib
 
     mod = importlib.import_module("models")
-    for sub in ("pointnet2_utils", "model"):
+    for sub in ("pointnet2_utils", "model", "PointTransformerV3"):
         importlib.import_module(f"models.{sub}")
     yield mod
     sys.path.pop(0)
@@ -153,5 +153,84 @@ def test_pointnet2_train_trajectory_matches_reference(torch, ref_pkg, monkeypatc
     # per-step agreement: identical weights/data/optimizer -> tight tracking
     np.testing.assert_allclose(our_losses, torch_losses, rtol=0.02, atol=0.02)
     # both must actually learn (loss decreasing over the window)
+    assert our_losses[-1] < our_losses[0]
+    assert torch_losses[-1] < torch_losses[0]
+
+
+def test_ptv3_train_trajectory_matches_reference(torch, ref_pkg):
+    """Same-weights/same-data step parity for the TRANSFORMER stack
+    (reference PointTransformerV3.py:173-304): attention, LayerNorm, GEGLU
+    MLPs, learnable pos-embed, and the BatchNorm-over-B*N head all execute
+    forward+backward+Adam against the torch reference. Complements the
+    PointNet2 test above, which exercises the conv/neighborhood stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.train.loop import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from pointcloud_bridge_tpu.utils.torch_import import convert_state_dict
+
+    num_classes, b, n, n_steps = 4, 2, 64, 8
+    lr, wd = 1e-3, 1e-4
+    batches = _synthetic_batches(n_steps, b, n, num_classes, seed=7)
+
+    tm = ref_pkg.PointTransformerV3.PointTransformerV3(
+        num_classes=num_classes, d_in=6, embed_dim=96, depth=2, num_heads=4,
+        drop_rate=0.0, attn_drop_rate=0.0,
+    )
+    for m in tm.modules():  # the head carries a hardcoded Dropout(0.5)
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    sd0 = {k: v.detach().clone().numpy() for k, v in tm.state_dict().items()}
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=lr, weight_decay=wd)
+    torch_losses = []
+    for xyz, rgb, labels in batches:
+        out = tm(torch.tensor(xyz), torch.tensor(rgb))  # [B, N, C]
+        loss = torch.nn.functional.cross_entropy(
+            out.reshape(-1, num_classes), torch.tensor(labels).reshape(-1)
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    ours = get_model(
+        "ptv3", num_classes=num_classes, d_in=6, embed_dim=96, depth=2,
+        num_heads=4, drop_rate=0.0, attn_drop_rate=0.0, head_drop_rate=0.0,
+    )
+    variables = convert_state_dict("ptv3", sd0, strict=True)
+    optimizer = make_optimizer(wd)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+    )
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    step_fn = make_train_step(ours, cfg.loss, optimizer, donate=False)
+    cw = jnp.ones(num_classes)
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for xyz, rgb, labels in batches:
+        batch = {
+            "points": jnp.asarray(xyz),
+            "colors": jnp.asarray(rgb),
+            "labels": jnp.asarray(labels.astype(np.int32)),
+        }
+        state, m = step_fn(state, batch, jnp.float32(lr), cw, key)
+        our_losses.append(float(m["loss"]))
+
+    torch_losses = np.asarray(torch_losses)
+    our_losses = np.asarray(our_losses)
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=0.02, atol=0.02)
     assert our_losses[-1] < our_losses[0]
     assert torch_losses[-1] < torch_losses[0]
