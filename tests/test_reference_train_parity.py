@@ -234,3 +234,87 @@ def test_ptv3_train_trajectory_matches_reference(torch, ref_pkg):
     np.testing.assert_allclose(our_losses, torch_losses, rtol=0.02, atol=0.02)
     assert our_losses[-1] < our_losses[0]
     assert torch_losses[-1] < torch_losses[0]
+
+
+def test_dgcnn_train_trajectory_matches_reference(torch, ref_pkg):
+    """Same-weights/same-data step parity for the dynamic-graph stack
+    (reference model.py:372-482): feature-space kNN rebuilt per layer,
+    EdgeConv gather+max, LeakyReLU BN convs, and the global max+avg pooled
+    head all execute forward+backward+Adam against the torch reference.
+    On CPU both kNNs are exact, so the step-0 neighbor graphs match and the
+    first losses agree to ~1e-5. Unlike the fixed-geometry models above,
+    DGCNN's graph is rebuilt from FEATURES each layer: after a step or two,
+    f32 reassociation noise in backward/Adam flips borderline kNN edges,
+    a discrete change that compounds — so later steps are asserted to a
+    loose band, not tight tracking (the same run-to-run sensitivity exists
+    torch-vs-torch across BLAS builds)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.train.loop import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from pointcloud_bridge_tpu.utils.torch_import import convert_state_dict
+
+    num_classes, b, n, n_steps = 4, 2, 96, 8
+    lr, wd = 1e-3, 1e-4
+    batches = _synthetic_batches(n_steps, b, n, num_classes, seed=11)
+
+    torch.manual_seed(42)  # pin the init draw regardless of test order
+    tm = ref_pkg.model.DGCNN(num_classes=num_classes, k=12)
+    for m in tm.modules():  # dp1/dp2 are hardcoded Dropout(0.5)
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    sd0 = {k: v.detach().clone().numpy() for k, v in tm.state_dict().items()}
+    tm.train()
+    opt = torch.optim.Adam(tm.parameters(), lr=lr, weight_decay=wd)
+    torch_losses = []
+    for xyz, _rgb, labels in batches:
+        out = tm(torch.tensor(xyz))  # [B, N, C]
+        loss = torch.nn.functional.cross_entropy(
+            out.reshape(-1, num_classes), torch.tensor(labels).reshape(-1)
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    ours = get_model(
+        "dgcnn_global", num_classes=num_classes, k=12, dropout_rate=0.0
+    )
+    variables = convert_state_dict("dgcnn_global", sd0, strict=True)
+    optimizer = make_optimizer(wd)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(params),
+    )
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    step_fn = make_train_step(ours, cfg.loss, optimizer, donate=False)
+    cw = jnp.ones(num_classes)
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for xyz, _rgb, labels in batches:
+        batch = {
+            "points": jnp.asarray(xyz),
+            "colors": None,
+            "labels": jnp.asarray(labels.astype(np.int32)),
+        }
+        state, m = step_fn(state, batch, jnp.float32(lr), cw, key)
+        our_losses.append(float(m["loss"]))
+
+    torch_losses = np.asarray(torch_losses)
+    our_losses = np.asarray(our_losses)
+    # identical graphs + weights at step 0: tight agreement (this is the
+    # deterministic claim — one Adam step can already flip borderline edges)
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], rtol=1e-3)
+    # after kNN-edge flips decorrelate the dynamic graphs: same loss band
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=0.10)
