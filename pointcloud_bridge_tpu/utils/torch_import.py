@@ -20,6 +20,9 @@ Supported models (reference anchors):
   - pointnet       Highway_bridge/models/pointnet.py:59-173 (+TNet :10-57)
   - dgcnn_global   Highway_bridge/models/model.py:372-482
   - ptv3           Highway_bridge/models/PointTransformerV3.py:173-304
+  - pointnet2_sem_seg   Partsize-identical/models/pointnet2_sem_seg.py:7-47
+  - pointnet2_msg  Partsize-identical/models/pointnet2_sem_seg_msg.py:7-42
+  - pointnet_sem_seg    Partsize-identical/models/pointnet_sem_seg.py:10-41
 
 bristrunet is deliberately NOT mappable: beyond the dead cls_head, our
 BridgeStructureEncoding intentionally fixes the reference's scrambled
@@ -80,6 +83,18 @@ def _apply_rules(
             _assign(stats, fp + ("mean",), take(tp + ".running_mean"))
             _assign(stats, fp + ("var",), take(tp + ".running_var"))
             used.add(tp + ".num_batches_tracked")
+        elif kind == "conv_featfirst":
+            # First conv of a Partsize MSG branch: the reference concats
+            # [grouped_points, grouped_xyz] (pointnet_util.py:265-267 —
+            # features FIRST, opposite of its own sample_and_group and of
+            # our group_points), so the torch kernel's last 3 input rows
+            # (rel-xyz) move to the front.
+            w = take(tp + ".weight")
+            w = w.reshape(w.shape[0], w.shape[1])
+            w = np.concatenate([w[:, -3:], w[:, :-3]], axis=1)
+            _assign(params, fp + ("kernel",), w.T)
+            if tp + ".bias" in sd:
+                _assign(params, fp + ("bias",), take(tp + ".bias"))
         elif kind == "ln":
             _assign(params, fp + ("scale",), take(tp + ".weight"))
             _assign(params, fp + ("bias",), take(tp + ".bias"))
@@ -194,6 +209,49 @@ def _rules_pointnet2_sem_seg() -> List[Rule]:
     return r
 
 
+def _rules_pointnet2_msg() -> List[Rule]:
+    """Partsize pointnet2_sem_seg_msg (the BASELINE north-star model,
+    Partsize-identical/models/pointnet2_sem_seg_msg.py:7-42): 4x MSG SA
+    (two radius branches each, PointNetSetAbstractionMsg
+    pointnet_util.py:222-284) + 4x FP + head. Each branch's first conv uses
+    conv_featfirst (the MSG module's [feats, rel-xyz] concat order)."""
+    branch_mlps = (
+        ((16, 16, 32), (32, 32, 64)),
+        ((64, 64, 128), (64, 96, 128)),
+        ((128, 196, 256), (128, 196, 256)),
+        ((256, 256, 512), (256, 384, 512)),
+    )
+    r: List[Rule] = []
+    for i, mlps in zip((1, 2, 3, 4), branch_mlps):
+        for b, mlp in enumerate(mlps):
+            for j in range(len(mlp)):
+                kind = "conv_featfirst" if j == 0 else "conv"
+                r.append(
+                    (
+                        f"sa{i}.conv_blocks.{b}.{j}",
+                        (f"sa{i}", f"mlp_{b}", f"dense_{j}"),
+                        kind,
+                    )
+                )
+                r.append(
+                    (
+                        f"sa{i}.bn_blocks.{b}.{j}",
+                        (f"sa{i}", f"mlp_{b}", f"bn_{j}"),
+                        "bn",
+                    )
+                )
+    for fp, nl in (("fp4", 2), ("fp3", 2), ("fp2", 2), ("fp1", 3)):
+        for j in range(nl):
+            r.append((f"{fp}.mlp_convs.{j}", (fp, "mlp", f"dense_{j}"), "conv"))
+            r.append((f"{fp}.mlp_bns.{j}", (fp, "mlp", f"bn_{j}"), "bn"))
+    r += [
+        ("conv1", ("head", "dense0"), "conv"),
+        ("bn1", ("head", "bn0"), "bn"),
+        ("conv2", ("head", "dense1"), "conv"),
+    ]
+    return r
+
+
 def _rules_pointnet_sem_seg() -> List[Rule]:
     """Partsize pointnet_sem_seg (pointnet_sem_seg.py:10-41 + PointNetEncoder
     pointnet.py:99-145): STN3d(9ch) + encoder + STNkd(64) + 4-conv head."""
@@ -251,13 +309,15 @@ def convert_state_dict(
         rules = _rules_ptv3(_ptv3_depth(sd))
     elif name == "pointnet2_sem_seg":
         rules = _rules_pointnet2_sem_seg()
+    elif name == "pointnet2_msg":
+        rules = _rules_pointnet2_msg()
     elif name == "pointnet_sem_seg":
         rules = _rules_pointnet_sem_seg()
     else:
         raise ValueError(
             f"no torch-import rules for model '{model_name}' "
             f"(supported: pointnet2_ssg, pointnet, dgcnn_global, ptv3, "
-            f"pointnet2_sem_seg, pointnet_sem_seg)"
+            f"pointnet2_sem_seg, pointnet2_msg, pointnet_sem_seg)"
         )
     params, stats, used = _apply_rules(rules, sd)
     if strict:

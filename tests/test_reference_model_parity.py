@@ -266,6 +266,20 @@ def partsize_pkg():
         name: importlib.import_module(name)
         for name in ("pointnet_util", "pointnet2_sem_seg", "pointnet_sem_seg")
     }
+    # pointnet2_sem_seg_msg uses a RELATIVE import (`from .pointnet_util
+    # import ...`), so it must live in a package: register a synthetic one
+    # rooted at the Partsize models dir. Its pointnet_util is a SEPARATE
+    # module instance from the flat one above — tests that pin FPS for the
+    # msg model must patch "partsize_models.pointnet_util".
+    import types
+
+    pkg = types.ModuleType("partsize_models")
+    pkg.__path__ = [PARTSIZE_MODELS]
+    sys.modules.setdefault("partsize_models", pkg)
+    mods["pointnet2_sem_seg_msg"] = importlib.import_module(
+        "partsize_models.pointnet2_sem_seg_msg"
+    )
+    mods["msg_pointnet_util"] = sys.modules["partsize_models.pointnet_util"]
     yield mods
     sys.path.pop(0)
 
@@ -294,6 +308,49 @@ def test_partsize_pointnet2_sem_seg_logits_parity(torch, partsize_pkg, monkeypat
 
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     variables = convert_state_dict("pointnet2_sem_seg", sd, strict=True)
+    init_vars = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(xyz), jnp.asarray(block9), train=False
+    )
+    validate_variables(variables, init_vars)
+
+    with torch.no_grad():
+        theirs, _ = tm(torch.tensor(np.transpose(block9, (0, 2, 1))))
+    theirs = theirs.numpy()  # [B, N, C] log-probs
+    logits = ours.apply(
+        variables, jnp.asarray(xyz), jnp.asarray(block9), train=False
+    )
+    got = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    np.testing.assert_allclose(got, theirs, rtol=2e-4, atol=3e-4)
+
+
+def test_partsize_pointnet2_msg_logits_parity(torch, partsize_pkg, monkeypatch):
+    """The BASELINE north-star model (PointNet++-MSG 9-ch,
+    pointnet2_sem_seg_msg.py:7-42): torch weights transferred branch-by-branch
+    (incl. the MSG module's [feats, rel-xyz] concat-order permutation on each
+    branch's first conv) must reproduce the reference log-probs."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.models import get_model
+    from pointcloud_bridge_tpu.utils.torch_import import (
+        convert_state_dict,
+        validate_variables,
+    )
+
+    utils = partsize_pkg["msg_pointnet_util"]
+    monkeypatch.setattr(utils, "farthest_point_sample", _det_fps(utils))
+
+    rng = np.random.default_rng(8)
+    b, n = 1, 1280  # > sa1 npoint (1024): reference sizes run as-is
+    block9 = rng.uniform(size=(b, n, 9)).astype(np.float32)
+    xyz = block9[:, :, :3].copy()
+
+    tm = partsize_pkg["pointnet2_sem_seg_msg"].get_model(5).eval()
+    _randomize_bn(torch, tm, seed=8)
+    ours = get_model("pointnet2_msg", num_classes=5)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_state_dict("pointnet2_msg", sd, strict=True)
     init_vars = ours.init(
         jax.random.PRNGKey(0), jnp.asarray(xyz), jnp.asarray(block9), train=False
     )
