@@ -100,13 +100,32 @@ def _attention(q, k, v, is_global: bool = True):
     # so a Pallas-on-CPU failure would surface at eval time OUTSIDE the
     # try/except below.
     dd = getattr(jax.config, "jax_default_device", None)
+    # Windowed attention (is_global=False, n == window size after the
+    # [B*nw, W, ...] fold) may opt into the flash kernel with
+    # PCB_FLASH_WINDOWED=1: at W=512 the BlockSizes min() below collapses to
+    # one 512-block per axis. MEASURED NEGATIVE on v5e (bench/
+    # winflash_probe.py, w=512 d8h2 B=4 N=4096): flash 16.8 vs XLA 10.6
+    # ms/fwd (0.63x) — the folded score tiles are 8x smaller than global
+    # N=4096 and no longer HBM-bound, so kernel overhead plus the D=192->256
+    # pad outweigh the VMEM win. XLA stays the windowed default; the knob
+    # remains for other shapes.
+    flash_windowed = (
+        not is_global
+        and os.environ.get("PCB_FLASH_WINDOWED", "0") == "1"
+        and n in (512, 1024)
+    )
     if (
         os.environ.get("PCB_FLASH_ATTN", "1") != "0"
         and jax.default_backend() == "tpu"
         and not (dd is not None and dd.platform == "cpu")
-        and is_global
-        and n % 512 == 0
-        and n >= 1024  # tiny-N (tests/CPU-sized inputs) keeps the XLA path
+        and (
+            (
+                is_global
+                and n % 512 == 0
+                and n >= 1024  # tiny-N (tests/CPU) keeps the XLA path
+            )
+            or flash_windowed
+        )
     ):
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (

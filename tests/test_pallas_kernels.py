@@ -215,6 +215,31 @@ def test_ptv3_flash_attention_matches_xla_on_tpu(rng, monkeypatch, heads, dim):
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_ptv3_windowed_flash_attention_matches_xla_on_tpu(rng, monkeypatch):
+    """PCB_FLASH_WINDOWED=1 routes folded [B*nw, W, H, D] windows through the
+    flash kernel (W collapses every BlockSizes min() to one 512-block)."""
+    from pointcloud_bridge_tpu.models.ptv3 import _attention
+
+    b_nw, w, heads, d = 8, 512, 2, 192  # d=192 exercises the 256-pad path
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b_nw, w, heads, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    monkeypatch.delenv("PCB_FLASH_ATTN", raising=False)
+    monkeypatch.setenv("PCB_FLASH_WINDOWED", "1")
+    got = np.asarray(
+        jax.jit(lambda q, k, v: _attention(q, k, v, is_global=False))(q, k, v)
+    )
+    monkeypatch.setenv("PCB_FLASH_ATTN", "0")
+    want = np.asarray(
+        jax.jit(lambda q, k, v: _attention(q, k, v, is_global=False))(q, k, v)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # fused k-NN interpolation kernel (interp3)
 # ---------------------------------------------------------------------------
