@@ -22,7 +22,7 @@ from .ptv3_break import amortized_seconds
 
 
 def main(b: int = 4, n: int = 4096, w: int = 512, c: int = 384,
-         h: int = 2, depth: int = 8) -> None:
+         h: int = 2, depth: int = 8, stream_dtype: str | None = None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,7 @@ def main(b: int = 4, n: int = 4096, w: int = 512, c: int = 384,
 
     model = get_model(
         "ptv3", num_classes=5, embed_dim=c, depth=depth, num_heads=h,
-        window_size=w,
+        window_size=w, stream_dtype=stream_dtype,
     )
     with jax.default_device(cpu):
         variables = model.init(
@@ -52,12 +52,13 @@ def main(b: int = 4, n: int = 4096, w: int = 512, c: int = 384,
 
     results = {}
     outs = {}
+    sd = stream_dtype or "f32"
     for label, flag in (("xla", "0"), ("flash", "1")):
         os.environ["PCB_FLASH_WINDOWED"] = flag
         sec = amortized_seconds(fwd, xyz, iters=12, reps=5)
-        outs[label] = np.asarray(fwd(xyz))
+        outs[label] = np.asarray(fwd(xyz), np.float32)
         results[label] = sec * 1e3
-        print(f"windowed model w={w} d{depth}h{h} [{label:5s}]: "
+        print(f"windowed model w={w} d{depth}h{h} {sd} [{label:5s}]: "
               f"{sec * 1e3:7.2f} ms/fwd  "
               f"({b * n / sec / 1e6:6.2f}M pts/s)")
 
@@ -72,4 +73,6 @@ def main(b: int = 4, n: int = 4096, w: int = 512, c: int = 384,
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(stream_dtype="bfloat16" if "--bf16" in sys.argv else None)
