@@ -60,6 +60,11 @@ DEFAULT_ZOO: Dict[str, Dict[str, Any]] = {
                       "num_heads": 6, "stream_dtype": "bfloat16",
                       "_note": "bf16 residual stream serving config "
                                "(argmax ~99.8% vs f32; params f32)"},
+    "ptv3_win_bf16": {"_model": "ptv3", "embed_dim": 384, "depth": 8,
+                      "num_heads": 2, "window_size": 512,
+                      "stream_dtype": "bfloat16",
+                      "_note": "fastest PTv3 serving config (round 3): "
+                               "Morton-windowed w=512 + bf16 stream"},
     "bristrunet": {},
 }
 

@@ -94,6 +94,11 @@ def three_nn_interpolate(
     if s == 1:
         n = xyz_dst.shape[1]
         return jnp.broadcast_to(feats_src, (feats_src.shape[0], n, feats_src.shape[2]))
+    # Fewer sources than neighbors: blend over all of them. The reference
+    # degrades the same way — its FP sorts then slices [:, :, :3]
+    # (pointnet2_utils.py:159-211, pointnet_util.py:288-348), and a torch
+    # slice clamps to the available columns.
+    k = min(k, s)
     if _pallas_wanted(approx, s, k, feats_src.shape[-1]):
         from .grouping import _eager_off_tpu
         from .pallas_kernels.interp3 import interpolate_pallas

@@ -171,6 +171,21 @@ def test_three_nn_interpolate_weights(rng):
     np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)
 
 
+def test_three_nn_fewer_sources_than_k(rng):
+    # S < k clamps to a blend over ALL sources — the reference's FP slices
+    # [:, :, :3] after a sort, which a torch slice clamps to S columns.
+    # (Hit by tiny-npoint configs, e.g. the 2-device dryrun's sa_npoints.)
+    xyz_src = jnp.array([[[0.0, 0, 0], [2.0, 0, 0]]])  # S=2
+    feats = jnp.array([[[1.0], [5.0]]])
+    xyz_dst = jnp.array([[[0.5, 0, 0]]])
+    out = np.asarray(three_nn_interpolate(xyz_dst, xyz_src, feats, k=3))
+    d2 = np.array([0.25, 2.25])  # squared distances
+    w = 1 / (d2 + 1e-8)
+    w = w / w.sum()
+    want = (w * np.array([1.0, 5.0])).sum()
+    np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)
+
+
 def test_three_nn_s1_broadcast(rng):
     xyz_dst = jnp.array(rng.normal(size=(2, 8, 3)).astype(np.float32))
     xyz_src = jnp.array(rng.normal(size=(2, 1, 3)).astype(np.float32))
