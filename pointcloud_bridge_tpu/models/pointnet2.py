@@ -96,6 +96,7 @@ class PointNet2MSG(nn.Module):
     """
 
     num_classes: int = 5
+    dropout_rate: float = 0.5  # head drop1 (pointnet2_sem_seg_msg.py:21)
     axis_name: Optional[str] = None
     sp_axis: Optional[str] = None  # see PointNet2SSG.sp_axis
 
@@ -134,9 +135,10 @@ class PointNet2MSG(nn.Module):
         l0 = FeaturePropagation(
             (128, 128, 128), ax, sp_axis=sp, sp_gather=False, name="fp1"
         )(xyz, l1_xyz, None, l1, train)
-        logits = SegHead(self.num_classes, 128, axis_name=ax, name="head")(
-            l0, train
-        )
+        logits = SegHead(
+            self.num_classes, 128, self.dropout_rate, axis_name=ax,
+            name="head",
+        )(l0, train)
         if sp:
             logits = jax.lax.all_gather(logits, sp, axis=1, tiled=True)
         return logits
