@@ -176,19 +176,72 @@ class MoEFeedForward(nn.Module):
         mask = mask.transpose(0, 2, 1, 3).reshape(G, K * S, E)
         pos = jnp.cumsum(mask, axis=1) - mask  # position within expert
         mask = mask * (pos < C)
-        # dispatch one-hot over capacity slots: [G, K*S, E, C]
         cdt = jnp.dtype(self.dtype) if self.dtype else xt.dtype
-        dispatch = mask[..., None] * jax.nn.one_hot(
-            pos.astype(jnp.int32), C, dtype=jnp.float32
-        )
         gate_flat = gate.transpose(0, 2, 1).reshape(G, K * S)
-        combine = dispatch * gate_flat[..., None, None]
-        dispatch = dispatch.astype(cdt)
-        combine = combine.astype(cdt)
 
-        # ---- expert compute (MXU einsums; E axis shards over `expert`) -----
-        xks = jnp.tile(xt, (1, K, 1)).astype(cdt)  # [G, K*S, d] rank-major
-        expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, xks)
+        import os as _os
+
+        if _os.environ.get("PCB_MOE_DENSE_DISPATCH", "0") == "1":
+            # Grouped dense dispatch (GShard-style one-hot einsums). Kept as
+            # the escape hatch / oracle for the index path below; measured
+            # ~3.1 ms/layer at B=4/N=4096/E=8/top-2 on v5e, dominated by the
+            # [G, K*S, E, C] one-hot HBM traffic + 16-GMAC contractions.
+            dispatch = mask[..., None] * jax.nn.one_hot(
+                pos.astype(jnp.int32), C, dtype=jnp.float32
+            )
+            combine = (dispatch * gate_flat[..., None, None]).astype(cdt)
+            dispatch = dispatch.astype(cdt)
+            xks = jnp.tile(xt, (1, K, 1)).astype(cdt)  # [G, K*S, d]
+            expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, xks)
+        else:
+            # Index-based dispatch (round-3 redesign, default): every
+            # dispatch/combine one-hot has exactly ONE nonzero per valid
+            # (expert, slot), so an int32 slot table + row gathers computes
+            # the identical result (multiplies by exactly 1.0) without ever
+            # materializing the [G, K*S, E, C] tensors — at the probe shape
+            # those are ~167 MB each, the dominant HBM cost of the layer.
+            # Slot assignment (e, pos) and therefore drop semantics are
+            # byte-identical to the einsum path (same rank-major cumsum).
+            EC = E * C
+            e_choice = sel.transpose(0, 2, 1).reshape(G, K * S)  # rank-major
+            p_choice = jnp.take_along_axis(
+                pos, e_choice[..., None].astype(jnp.int32), axis=-1
+            )[..., 0].astype(jnp.int32)
+            valid = (
+                jnp.take_along_axis(
+                    mask, e_choice[..., None].astype(jnp.int32), axis=-1
+                )[..., 0]
+                > 0
+            )
+            # invalid choices target the trash column EC (sliced off below)
+            slot = jnp.where(valid, e_choice.astype(jnp.int32) * C + p_choice, EC)
+            tok = jnp.broadcast_to(
+                jnp.tile(jnp.arange(S, dtype=jnp.int32), K)[None], (G, K * S)
+            )
+            # slot -> token-row table built by SORT + searchsorted instead of
+            # a scatter (XLA TPU scatter serializes the 32k updates — measured
+            # 2x slower than the dense einsums it was meant to replace).
+            # Valid slots are unique per group and the sort puts them in slot
+            # order; a vectorized binary search then fills each dense slot,
+            # with misses (unfilled capacity, trash column EC) pointing at the
+            # zero pad row S.
+            s_slot, s_tok = jax.lax.sort((slot, tok), dimension=-1, num_keys=1)
+            dense_slots = jnp.arange(EC, dtype=jnp.int32)
+            j = jax.vmap(
+                lambda a: jnp.searchsorted(a, dense_slots, side="left")
+            )(s_slot).astype(jnp.int32)
+            j = jnp.minimum(j, K * S - 1)
+            hit = jnp.take_along_axis(s_slot, j, axis=-1) == dense_slots[None]
+            table = jnp.where(
+                hit, jnp.take_along_axis(s_tok, j, axis=-1), S
+            )
+            xt_pad = jnp.concatenate(
+                [xt.astype(cdt), jnp.zeros((G, 1, d), dtype=cdt)], axis=1
+            )
+            expert_in = jnp.take_along_axis(
+                xt_pad, table[..., None], axis=1
+            ).reshape(G, E, C, d)
+
         h = (
             jnp.einsum("gecd,edh->gech", expert_in, w_proj.astype(cdt))
             + b_proj.astype(cdt)[:, None, :]  # [E, 2H] -> [E, 1, 2H]
@@ -200,7 +253,17 @@ class MoEFeedForward(nn.Module):
             jnp.einsum("gech,ehd->gecd", h, w_out.astype(cdt))
             + b_out.astype(cdt)[:, None, :]  # [E, d] -> [E, 1, d]
         )
-        y = jnp.einsum("gtec,gecd->gtd", combine, out)  # [G, K*S, d]
+        if _os.environ.get("PCB_MOE_DENSE_DISPATCH", "0") == "1":
+            y = jnp.einsum("gtec,gecd->gtd", combine, out)  # [G, K*S, d]
+        else:
+            out_pad = jnp.concatenate(
+                [out.reshape(G, EC, d), jnp.zeros((G, 1, d), dtype=cdt)],
+                axis=1,
+            )
+            y = (
+                jnp.take_along_axis(out_pad, slot[..., None], axis=1)
+                * gate_flat[..., None].astype(cdt)
+            )  # [G, K*S, d]
         y = y.reshape(G, K, S, d).sum(axis=1).reshape(b, n, d)
         return nn.Dropout(self.dropout, deterministic=not train)(
             y.astype(x.dtype)

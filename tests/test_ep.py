@@ -61,6 +61,42 @@ def test_moe_matches_per_token_oracle(top_k):
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-5)
 
 
+def test_moe_index_dispatch_matches_dense_dispatch(monkeypatch):
+    # The round-3 index-based dispatch (slot table + row gathers) must be
+    # BITWISE equal to the grouped one-hot einsum path in f32 — every
+    # dispatch/combine one-hot has exactly one nonzero per valid slot, so
+    # the gather computes the identical arithmetic. Exercised with drops
+    # (capacity_factor=1.0 forces over-capacity evictions at E=4, top-2)
+    # and with gradients (same VJP result through scatter-add vs einsum).
+    E, d, hid, b, n = 4, 16, 32, 2, 64
+    layer = MoEFeedForward(
+        num_experts=E, hidden_dim=hid, dim=d, top_k=2, capacity_factor=1.0
+    )
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, n, d), jnp.float32)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+
+    def fwd(v, x):
+        return layer.apply(v, x)
+
+    def loss(v, x):
+        return jnp.sum(layer.apply(v, x) ** 2)
+
+    monkeypatch.delenv("PCB_MOE_DENSE_DISPATCH", raising=False)
+    y_idx = np.asarray(jax.jit(fwd)(variables, x))
+    g_idx = jax.jit(jax.grad(loss))(variables, x)
+    monkeypatch.setenv("PCB_MOE_DENSE_DISPATCH", "1")
+    y_dense = np.asarray(jax.jit(fwd)(variables, x))
+    g_dense = jax.jit(jax.grad(loss))(variables, x)
+
+    np.testing.assert_array_equal(y_idx, y_dense)
+    jax.tree_util.tree_map(
+        lambda a, bb: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-6
+        ),
+        g_idx, g_dense,
+    )
+
+
 def test_moe_capacity_drop_semantics():
     # one expert, capacity < tokens: GShard priority keeps the FIRST C
     # tokens (cumsum order); the rest get a zero FFN contribution
