@@ -19,6 +19,7 @@ import flax.linen as nn
 
 from ..ops import local_structure_features
 from ..ops.structure import knn_relative_positions
+from .common import sp_shard_slice
 
 
 def _bn(train, axis_name, name):
@@ -55,13 +56,21 @@ class BridgeStructureEncoding(nn.Module):
     freq_bands: int = 4
     grid_size: float = 1.0
     axis_name: Optional[str] = None
+    # sequence parallelism (parallel/sp.py shard_inputs=False): xyz arrives
+    # FULL; the per-query work (kNN, structure stats, per-neighbor MLP, max)
+    # runs on this shard's 1/P slice of the query axis. Exact: kNN rows of a
+    # query slice equal the corresponding rows of the self-kNN. sp_gather
+    # False leaves the output sharded for an enclosing sharded module.
+    sp_axis: Optional[str] = None
+    sp_gather: bool = True
 
     @nn.compact
     def __call__(self, xyz: jax.Array, train: bool = False) -> jax.Array:
         n = xyz.shape[1]
         k = min(self.k_neighbors, n)
+        q_xyz = sp_shard_slice(xyz, self.sp_axis) if self.sp_axis else xyz
         # absolute grid-quantized frequency encoding (:552-574)
-        grid_xyz = jnp.floor(xyz / self.grid_size) * self.grid_size
+        grid_xyz = jnp.floor(q_xyz / self.grid_size) * self.grid_size
         freqs = 2.0 ** jnp.linspace(0.0, self.freq_bands - 1, self.freq_bands)
         abs_enc = []
         for f in freqs:
@@ -74,7 +83,8 @@ class BridgeStructureEncoding(nn.Module):
         # selection kernel (ops/grouping.py::knn_set) skips the approx-top-k
         # aggregation sort entirely on TPU.
         rel_pos, _ = knn_relative_positions(
-            xyz, k, recall_target=0.90, ordered=False
+            xyz, k, recall_target=0.90, ordered=False,
+            query=q_xyz if self.sp_axis else None,
         )
         struct = local_structure_features(rel_pos)  # [B, N, 13]
 
@@ -94,7 +104,10 @@ class BridgeStructureEncoding(nn.Module):
         h = _bn(train, self.axis_name, "bn0")(h)
         h = nn.relu(h)
         h = nn.Dense(self.channels, name="mlp1")(h)
-        return jnp.max(h, axis=2)  # [B, N, channels]
+        out = jnp.max(h, axis=2)  # [B, N(/P), channels]
+        if self.sp_axis and self.sp_gather:
+            out = jax.lax.all_gather(out, self.sp_axis, axis=1, tiled=True)
+        return out
 
 
 class EnhancedPositionalEncoding(nn.Module):
@@ -193,20 +206,30 @@ class CompositeFeatureFusion(nn.Module):
 
 class GeometricFeatureExtraction(nn.Module):
     """Concat a 16-ch BridgeStructureEncoding of xyz, then 2-layer MLP
-    (attention_modules.py:241-269). [B, N, C] -> [B, N, C]."""
+    (attention_modules.py:241-269). [B, N, C] -> [B, N, C].
+
+    sp_axis: inputs arrive FULL; the inner BSE and the pointwise MLPs run on
+    this shard's query slice, all_gathered back to full at the end."""
 
     axis_name: Optional[str] = None
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, xyz: jax.Array, train: bool = False):
         c = x.shape[-1]
-        pos = BridgeStructureEncoding(16, axis_name=self.axis_name, name="br_pos")(
-            xyz, train
-        )
+        pos = BridgeStructureEncoding(
+            16, axis_name=self.axis_name, sp_axis=self.sp_axis,
+            sp_gather=False, name="br_pos",
+        )(xyz, train)
+        if self.sp_axis:
+            x = sp_shard_slice(x, self.sp_axis)
         h = jnp.concatenate([x, pos], axis=-1)
         h = nn.Dense(c, name="mlp0")(h)
         h = nn.relu(_bn(train, self.axis_name, "bn0")(h))
-        return nn.Dense(c, name="mlp1")(h)
+        out = nn.Dense(c, name="mlp1")(h)
+        if self.sp_axis:
+            out = jax.lax.all_gather(out, self.sp_axis, axis=1, tiled=True)
+        return out
 
 
 class BoundaryAwareModule(nn.Module):
@@ -288,19 +311,34 @@ class EnhancedAttentionModule(nn.Module):
 class MultiScaleFeatureFusion(nn.Module):
     """Interpolate each feature map to N points (nearest, like the reference's
     default-mode F.interpolate, model.py:149-167), per-scale Dense+BN+ReLU,
-    concat."""
+    concat.
+
+    sp_axis contract (sequence parallelism): the LAST entry of features_list
+    is this shard's 1/P slice of the fine point axis (it comes from an
+    sp_gather=False FP); earlier entries are FULL coarse maps, which are
+    nearest-resized to the full fine length and then sliced — exact, because
+    nearest resize maps each output row independently. The fused output
+    stays SHARDED (the pointwise head consumes it; logits gather once at the
+    model's end)."""
 
     out_channels: int = 128
     axis_name: Optional[str] = None
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, features_list, train: bool = False):
         n = features_list[-1].shape[1]
+        if self.sp_axis:
+            n = n * jax.lax.axis_size(self.sp_axis)  # full fine length
         outs = []
+        last = len(features_list) - 1
         for i, feat in enumerate(features_list):
-            if feat.shape[1] != n:
+            pre_sharded = self.sp_axis is not None and i == last
+            if not pre_sharded and feat.shape[1] != n:
                 b, _, c = feat.shape
                 feat = jax.image.resize(feat, (b, n, c), method="nearest")
+            if self.sp_axis and not pre_sharded:
+                feat = sp_shard_slice(feat, self.sp_axis)
             h = nn.Dense(self.out_channels, name=f"conv{i}")(feat)
             h = nn.relu(_bn(train, self.axis_name, f"bn{i}")(h))
             outs.append(h)

@@ -141,6 +141,7 @@ class MultiScaleSetAbstraction(nn.Module):
     nsample_list: Sequence[int]
     mlp: Sequence[int]
     axis_name: Optional[str] = None
+    sp_axis: Optional[str] = None  # same contract as SetAbstraction.sp_axis
 
     @nn.compact
     def __call__(
@@ -151,17 +152,21 @@ class MultiScaleSetAbstraction(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         fps_idx = farthest_point_sample(xyz, self.npoint)
         new_xyz = index_points(xyz, fps_idx)
+        q_xyz = sp_shard_slice(new_xyz, self.sp_axis) if self.sp_axis else new_xyz
         scale_feats = []
         for i, (radius, nsample) in enumerate(
             zip(self.radius_list, self.nsample_list)
         ):
-            idx = query_ball_point(radius, nsample, xyz, new_xyz)
-            grouped = group_points(xyz, new_xyz, idx, features)
+            idx = query_ball_point(radius, nsample, xyz, q_xyz)
+            grouped = group_points(xyz, q_xyz, idx, features)
             out = SharedMLP(self.mlp, axis_name=self.axis_name, name=f"mlp_{i}")(
                 grouped, train=train
             )
             scale_feats.append(jnp.max(out, axis=2))
-        return new_xyz, jnp.concatenate(scale_feats, axis=-1)
+        out = jnp.concatenate(scale_feats, axis=-1)
+        if self.sp_axis:
+            out = jax.lax.all_gather(out, self.sp_axis, axis=1, tiled=True)
+        return new_xyz, out
 
 
 class MultiScaleSetAbstractionMsg(nn.Module):
@@ -251,10 +256,17 @@ class EnhancedFeaturePropagation(nn.Module):
 
     4-NN interpolation; channel attention gate on the fused features; xyz-driven
     boundary MLP added residually; skip connection when widths line up.
+
+    sp_axis / sp_gather: same contract as FeaturePropagation — slice the
+    FINE (target) axis to this shard's 1/P block; coarse sources stay full;
+    every stage below (interp, attention gate, MLPs, boundary MLP, residual)
+    is per-fine-point.
     """
 
     mlp: Sequence[int]
     axis_name: Optional[str] = None
+    sp_axis: Optional[str] = None
+    sp_gather: bool = True
 
     @nn.compact
     def __call__(
@@ -265,6 +277,10 @@ class EnhancedFeaturePropagation(nn.Module):
         feats_coarse: jax.Array,
         train: bool = False,
     ) -> jax.Array:
+        if self.sp_axis:
+            xyz_fine = sp_shard_slice(xyz_fine, self.sp_axis)
+            if feats_fine is not None:
+                feats_fine = sp_shard_slice(feats_fine, self.sp_axis)
         interp = three_nn_interpolate(xyz_fine, xyz_coarse, feats_coarse, k=4)
         if feats_fine is not None:
             fused = jnp.concatenate([feats_fine, interp], axis=-1)
@@ -293,7 +309,10 @@ class EnhancedFeaturePropagation(nn.Module):
             (16,), axis_name=self.axis_name, name="boundary_mlp0"
         )(xyz_fine, train=train)
         boundary = nn.Dense(self.mlp[-1], name="boundary_dense1")(boundary)
-        return out + boundary
+        out = out + boundary
+        if self.sp_axis and self.sp_gather:
+            out = jax.lax.all_gather(out, self.sp_axis, axis=1, tiled=True)
+        return out
 
 
 class SegHead(nn.Module):

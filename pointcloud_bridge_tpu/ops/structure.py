@@ -213,18 +213,28 @@ def estimate_normals(xyz: jax.Array, k: int = 20) -> jax.Array:
 
 
 def knn_relative_positions(
-    xyz: jax.Array, k: int, recall_target: float = 0.95, ordered: bool = True
+    xyz: jax.Array,
+    k: int,
+    recall_target: float = 0.95,
+    ordered: bool = True,
+    query: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """k-NN then center-relative positions. Returns (rel_pos [B,N,k,3], idx).
+    """k-NN then center-relative positions. Returns (rel_pos [B,S,k,3], idx).
 
     ordered=False: permutation-invariant consumers (statistics, mean/max
     pooling — BSE/EPE) take the neighbor SET via `knn_set`, skipping the
-    approx-top-k aggregation sort on TPU (~2/3 of the kNN cost)."""
+    approx-top-k aggregation sort on TPU (~2/3 of the kNN cost).
+
+    query (default xyz): query centers [B, S, 3]. A SLICE of xyz yields
+    exactly the corresponding rows of the self-kNN result (top-k is
+    per-row), which is what sequence-parallel BridgeStructureEncoding
+    relies on (models/attention.py sp_axis)."""
+    q = xyz if query is None else query
     if ordered:
-        idx = knn(xyz, k=k, recall_target=recall_target)
+        idx = knn(xyz, q, k=k, recall_target=recall_target)
     else:
         from .grouping import knn_set
 
-        idx = knn_set(xyz, k=k, recall_target=recall_target)
+        idx = knn_set(xyz, q, k=k, recall_target=recall_target)
     neighbors = index_points(xyz, idx)
-    return neighbors - xyz[:, :, None, :], idx
+    return neighbors - q[:, :, None, :], idx
