@@ -10,9 +10,10 @@ TPU-first deltas (the reference deliberately uses per-node Python loops,
 spg.py:485-557):
   - the partition is batched k-means (argmin over a cdist matrix + one-hot
     matmul centroid updates) seeded by FPS instead of randperm (deterministic);
-  - superpoint stats use exact segment max/mean/std; the reference's
-    median/quartile (spg.py:343-356) are approximated as mean and
-    mean + 0.675*std (Gaussian quantiles) to stay sort-free;
+  - superpoint stats are EXACT, including the reference's index-based
+    median/quartile picks (spg.py:343-356): its per-superpoint Python loop +
+    torch.sort becomes one batched 2-key (segment, value) lexicographic sort
+    per channel (segment_quantile_stats; oracle-tested);
   - graph convolution is dense masked attention over [B, S, S] (S ~ N/50),
     identical math to the reference's neighbor loops;
   - the try/except zero-logit fallback (spg.py:413-435) is dropped — fixed
@@ -74,6 +75,68 @@ def segment_stats(feats: jax.Array, onehot: jax.Array, assign: jax.Array):
     mx = jax.vmap(seg_max)(feats, assign)
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty segments -> 0
     return mx, mean, std
+
+
+def segment_quantile_stats(feats: jax.Array, onehot: jax.Array,
+                           assign: jax.Array):
+    """EXACT per-superpoint [max, mean, std, median, q75] matching the
+    reference's stat pooling semantics (spg.py:322-357):
+
+      - std is torch.std: unbiased (ddof=1) + 1e-6, and 0 when count <= 1;
+      - "median"/"q75" are the reference's INDEX-based sorted picks
+        sorted[min(cnt//2, cnt-1)] and sorted[min(3*cnt//4, cnt-1)]
+        (no interpolation);
+      - fully-empty superpoints contribute 0 for every statistic (the
+        reference leaves their feature row zero).
+
+    TPU-first: the reference's per-superpoint Python loop + torch.sort
+    becomes ONE batched 2-key lexicographic sort per channel — sort N
+    points by (segment id, value), then each segment's sorted run is the
+    contiguous rows [start_s, start_s + cnt_s) and the quantile picks are
+    two take_along_axis gathers at static offsets. O(C * N log N) total,
+    no [S, N] masks materialized.
+
+    feats [B, N, C], onehot [B, N, S], assign [B, N] -> each [B, S, C].
+    """
+    b, n, c = feats.shape
+    s = onehot.shape[-1]
+    counts = jnp.sum(onehot, axis=1)  # [B, S] float
+    cnt = counts.astype(jnp.int32)
+    safe = jnp.maximum(counts, 1.0)
+
+    ssum = jnp.einsum("bns,bnc->bsc", onehot, feats)
+    mean = ssum / safe[..., None]
+    sq = jnp.einsum("bns,bnc->bsc", onehot, feats**2)
+    var = (sq - ssum * mean) / jnp.maximum(counts - 1.0, 1.0)[..., None]
+    std = jnp.sqrt(jax.nn.relu(var)) + 1e-6
+    std = jnp.where(cnt[..., None] > 1, std, 0.0)
+
+    def seg_max(f, ids):
+        return jax.ops.segment_max(f, ids, num_segments=s)
+
+    mx = jax.vmap(seg_max)(feats, assign)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)  # empty segments -> 0
+
+    segk = jnp.broadcast_to(
+        assign[:, None, :].astype(jnp.int32), (b, c, n)
+    )
+    vals = jnp.swapaxes(feats, 1, 2)  # [B, C, N]
+    _, sv = jax.lax.sort((segk, vals), dimension=-1, num_keys=2)
+    start = jnp.cumsum(cnt, axis=-1) - cnt  # [B, S] exclusive prefix
+    last = jnp.maximum(cnt - 1, 0)
+    med_i = start + jnp.minimum(cnt // 2, last)
+    q75_i = start + jnp.minimum(3 * cnt // 4, last)
+    med = jnp.swapaxes(
+        jnp.take_along_axis(sv, med_i[:, None, :], axis=2), 1, 2
+    )  # [B, S, C]
+    q75 = jnp.swapaxes(
+        jnp.take_along_axis(sv, q75_i[:, None, :], axis=2), 1, 2
+    )
+    nonempty = cnt[..., None] > 0
+    med = jnp.where(nonempty, med, 0.0)
+    q75 = jnp.where(nonempty, q75, 0.0)
+    mean = jnp.where(nonempty, mean, 0.0)
+    return mx, mean, std, med, q75
 
 
 class EnhancedGraphConv(nn.Module):
@@ -177,10 +240,14 @@ class SuperpointGraph(nn.Module):
         counts = jnp.sum(onehot, axis=1)  # [B, S]
 
         # statistical pooling (spg.py:322-357): weighted [max, mean, std,
-        # median~mean, q75~mean+0.675std]
-        mx, mean, std = segment_stats(point_feats, onehot, assign)
-        sp_feats = 0.5 * mx + 0.2 * mean + 0.1 * std + 0.1 * mean + 0.1 * (
-            mean + 0.675 * std
+        # median, q75] with the reference's exact index-based quantiles
+        # (segment_quantile_stats; round-4 replacement of the earlier
+        # mean + 0.675*sigma Gaussian approximation)
+        mx, mean, std, med, q75 = segment_quantile_stats(
+            point_feats, onehot, assign
+        )
+        sp_feats = (
+            0.5 * mx + 0.2 * mean + 0.1 * std + 0.1 * med + 0.1 * q75
         )
         sp_feats = SharedMLP((256, 256, 256), axis_name=ax, name="sp_encoder")(
             sp_feats, train=train

@@ -214,3 +214,51 @@ def test_migration_doc_names_resolve():
     mods = set(re.findall(r"python -m ([a-zA-Z0-9_.]+)", text))
     for mod in mods:
         assert importlib.util.find_spec(mod) is not None, mod
+
+
+def test_segment_quantile_stats_oracle():
+    """Exact reference stat-pooling semantics (Highway_bridge/models/
+    spg.py:322-357): per-segment max/mean/torch-std/index-median/index-q75
+    vs a numpy per-segment loop, including empty and singleton segments."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pointcloud_bridge_tpu.models.spg import segment_quantile_stats
+
+    rng = np.random.default_rng(0)
+    b, n, c, s = 2, 64, 5, 8
+    feats = rng.standard_normal((b, n, c)).astype(np.float32)
+    # skewed assignment: segment 7 empty, segment 6 a singleton
+    assign = rng.integers(0, 6, (b, n)).astype(np.int32)
+    assign[:, 0] = 6
+    onehot = np.zeros((b, n, s), np.float32)
+    for bi in range(b):
+        onehot[bi, np.arange(n), assign[bi]] = 1.0
+
+    mx, mean, std, med, q75 = [
+        np.asarray(t) for t in segment_quantile_stats(
+            jnp.asarray(feats), jnp.asarray(onehot), jnp.asarray(assign)
+        )
+    ]
+
+    for bi in range(b):
+        for si in range(s):
+            m = assign[bi] == si
+            cnt = int(m.sum())
+            if cnt == 0:
+                for arr in (mx, mean, std, med, q75):
+                    np.testing.assert_array_equal(arr[bi, si], 0.0)
+                continue
+            f = feats[bi, m]  # [cnt, C]
+            np.testing.assert_allclose(mx[bi, si], f.max(0), rtol=1e-6)
+            np.testing.assert_allclose(mean[bi, si], f.mean(0), rtol=1e-5,
+                                       atol=1e-6)
+            want_std = (f.std(0, ddof=1) + 1e-6) if cnt > 1 else np.zeros(c)
+            np.testing.assert_allclose(std[bi, si], want_std, rtol=1e-4,
+                                       atol=1e-6)
+            fs = np.sort(f, axis=0)
+            np.testing.assert_array_equal(
+                med[bi, si], fs[min(cnt // 2, cnt - 1)]
+            )
+            np.testing.assert_array_equal(
+                q75[bi, si], fs[min(3 * cnt // 4, cnt - 1)]
+            )
