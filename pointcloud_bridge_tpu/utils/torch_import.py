@@ -18,11 +18,16 @@ Layout rules (the whole conversion is these four):
 Supported models (reference anchors):
   - pointnet2_ssg  Highway_bridge/models/model.py:12-56
   - pointnet       Highway_bridge/models/pointnet.py:59-173 (+TNet :10-57)
+  - dgcnn          Highway_bridge/models/DGCNN.py:6-172 (k=20 trained seg)
   - dgcnn_global   Highway_bridge/models/model.py:372-482
+  - randlanet      Highway_bridge/models/RandLANet.py:302-443
   - ptv3           Highway_bridge/models/PointTransformerV3.py:173-304
   - pointnet2_sem_seg   Partsize-identical/models/pointnet2_sem_seg.py:7-47
   - pointnet2_msg  Partsize-identical/models/pointnet2_sem_seg_msg.py:7-42
   - pointnet_sem_seg    Partsize-identical/models/pointnet_sem_seg.py:10-41
+  - multiscale_sa  Highway_bridge/models/pointnet2_utils.py:302-360
+    (module-level: the Highway MSG set-abstraction block used by
+    EnhancedPointNet2; the enclosing model stays non-mappable — below)
 
 bristrunet is deliberately NOT mappable: beyond the dead cls_head, our
 BridgeStructureEncoding intentionally fixes the reference's scrambled
@@ -252,6 +257,97 @@ def _rules_pointnet2_msg() -> List[Rule]:
     return r
 
 
+def _rules_dgcnn() -> List[Rule]:
+    """The k=20 trained DGCNN seg variant (Highway_bridge/models/
+    DGCNN.py:6-172): 4 EdgeConvs + conv5 + local_bn + 3-conv point head.
+    Like dgcnn_global, each EdgeConv BN is registered both standalone
+    ("bn{i}") and inside the Sequential ("conv{i}.1") — aliases ignored."""
+    r: List[Rule] = []
+    for i in range(1, 5):
+        r.append((f"conv{i}.0", (f"conv{i}", "conv"), "conv"))
+        r.append((f"bn{i}", (f"conv{i}", "bn"), "bn"))
+    r += [
+        ("conv5.0", ("conv5",), "conv"),
+        ("bn5", ("bn5",), "bn"),
+        ("local_bn", ("local_bn",), "bn"),
+        ("point_conv.0", ("point_conv1",), "conv"),
+        ("point_conv.1", ("bn_p1",), "bn"),
+        ("point_conv.3", ("point_conv2",), "conv"),
+        ("point_conv.4", ("bn_p2",), "bn"),
+        ("point_conv.6", ("point_conv3",), "conv"),
+    ]
+    return r
+
+
+def _rules_randlanet() -> List[Rule]:
+    """RandLANet (Highway_bridge/models/RandLANet.py:302-443): fc_start ->
+    4x [RandomSampling + LocalFeatureAggregation(2x LSE + 2x AttnPool +
+    DRB)] -> 4x FP-upsample -> seg head. RandomSampling/KNN carry no params;
+    each LFA's DRB has in == out channels, so its shortcut Sequential is
+    empty (no params) on both sides."""
+    r: List[Rule] = [
+        ("fc_start", ("fc_start",), "linear"),
+        ("bn_start", ("bn_start",), "bn"),
+    ]
+    for i in range(4):
+        la = f"down_modules.{i}.localAgg"
+        fl = f"lfa{i}"
+        for lse in ("lse1", "lse2"):
+            r.append((f"{la}.{lse}.mlp.0", (fl, lse, "mlp"), "conv"))
+            r.append((f"{la}.{lse}.mlp.1", (fl, lse, "bn"), "bn"))
+        for ap in ("ap1", "ap2"):
+            r += [
+                (f"{la}.{ap}.score_fn.0", (fl, ap, "score0"), "conv"),
+                (f"{la}.{ap}.score_fn.1", (fl, ap, "score_bn"), "bn"),
+                (f"{la}.{ap}.score_fn.3", (fl, ap, "score1"), "conv"),
+                (f"{la}.{ap}.mlp.0", (fl, ap, "mlp"), "conv"),
+                (f"{la}.{ap}.mlp.1", (fl, ap, "mlp_bn"), "bn"),
+            ]
+        r += [
+            (f"{la}.drb.mlp1.0", (fl, "drb", "mlp1"), "conv"),
+            (f"{la}.drb.mlp1.1", (fl, "drb", "bn1"), "bn"),
+            (f"{la}.drb.mlp2.0", (fl, "drb", "mlp2"), "conv"),
+            (f"{la}.drb.mlp2.1", (fl, "drb", "bn2"), "bn"),
+        ]
+    for i in range(4):
+        up = f"up_modules.{i}.mlp"
+        r += [
+            (f"{up}.0", (f"up{i}_d1",), "conv"),
+            (f"{up}.1", (f"up{i}_bn1",), "bn"),
+            (f"{up}.3", (f"up{i}_d2",), "conv"),
+            (f"{up}.4", (f"up{i}_bn2",), "bn"),
+        ]
+    r += [
+        ("seg_head.0", ("head_d0",), "conv"),
+        ("seg_head.1", ("head_bn",), "bn"),
+        ("seg_head.4", ("head_d1",), "conv"),
+    ]
+    return r
+
+
+def _rules_multiscale_sa(sd: Dict[str, Any]) -> List[Rule]:
+    """MODULE-level rules for the Highway MultiScaleSetAbstraction
+    (Highway_bridge/models/pointnet2_utils.py:302-360) -> our
+    models/common.py::MultiScaleSetAbstraction. The module concats
+    [grouped_xyz_norm, grouped_points] — xyz FIRST, same as our
+    group_points, so no input-channel permutation (unlike the Partsize MSG
+    module's conv_featfirst). Scale/layer counts are inferred from the
+    state_dict. The enclosing EnhancedPointNet2 model stays non-mappable
+    (see module docstring); this rule set carries the per-module parity."""
+    r: List[Rule] = []
+    i = 0
+    while f"conv_blocks.{i}.0.weight" in sd:
+        j = 0
+        while f"conv_blocks.{i}.{j}.weight" in sd:
+            r.append(
+                (f"conv_blocks.{i}.{j}", (f"mlp_{i}", f"dense_{j}"), "conv")
+            )
+            r.append((f"bn_blocks.{i}.{j}", (f"mlp_{i}", f"bn_{j}"), "bn"))
+            j += 1
+        i += 1
+    return r
+
+
 def _rules_pointnet_sem_seg() -> List[Rule]:
     """Partsize pointnet_sem_seg (pointnet_sem_seg.py:10-41 + PointNetEncoder
     pointnet.py:99-145): STN3d(9ch) + encoder + STNkd(64) + 4-conv head."""
@@ -284,6 +380,7 @@ _IGNORE: Dict[str, Tuple[str, ...]] = {
     "pointnet2_ssg": (),
     "pointnet": (),
     "dgcnn_global": _DGCNN_ALIASES,
+    "dgcnn": _DGCNN_ALIASES,
     "ptv3": (),
 }
 
@@ -305,6 +402,12 @@ def convert_state_dict(
         rules = _rules_pointnet()
     elif name == "dgcnn_global":
         rules = _rules_dgcnn_global()
+    elif name == "dgcnn":
+        rules = _rules_dgcnn()
+    elif name == "randlanet":
+        rules = _rules_randlanet()
+    elif name == "multiscale_sa":
+        rules = _rules_multiscale_sa(sd)
     elif name == "ptv3":
         rules = _rules_ptv3(_ptv3_depth(sd))
     elif name == "pointnet2_sem_seg":
@@ -316,8 +419,9 @@ def convert_state_dict(
     else:
         raise ValueError(
             f"no torch-import rules for model '{model_name}' "
-            f"(supported: pointnet2_ssg, pointnet, dgcnn_global, ptv3, "
-            f"pointnet2_sem_seg, pointnet2_msg, pointnet_sem_seg)"
+            f"(supported: pointnet2_ssg, pointnet, dgcnn, dgcnn_global, "
+            f"randlanet, ptv3, pointnet2_sem_seg, pointnet2_msg, "
+            f"pointnet_sem_seg, multiscale_sa [module-level])"
         )
     params, stats, used = _apply_rules(rules, sd)
     if strict:

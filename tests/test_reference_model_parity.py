@@ -401,3 +401,84 @@ def test_partsize_pointnet_sem_seg_logits_parity(torch, partsize_pkg):
     )
     got = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
     np.testing.assert_allclose(got, theirs, rtol=2e-4, atol=3e-4)
+
+
+def test_dgcnn_seg_logits_parity(torch, ref_pkg):
+    """The k=20 TRAINED DGCNN seg variant (Highway_bridge/models/
+    DGCNN.py:6-172, the best-mIoU model in the repo's logs): per-point head
+    over [local(320) | global(1024)] with the standalone local_bn."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.models import get_model
+
+    dg = importlib.import_module("models.DGCNN")
+
+    rng = np.random.default_rng(9)
+    b, n = 2, 256
+    xyz = rng.uniform(size=(b, n, 3)).astype(np.float32)
+
+    tm = dg.DGCNN(num_classes=5, k=16).eval()
+    _randomize_bn(torch, tm, seed=9)
+    ours = get_model("dgcnn", num_classes=5, k=16)
+
+    variables = _convert_and_check("dgcnn", tm, ours, (jnp.asarray(xyz), None))
+    with torch.no_grad():
+        theirs = tm(torch.tensor(xyz)).numpy()  # [B, N, C]
+    got = np.asarray(ours.apply(variables, jnp.asarray(xyz), None, train=False))
+    np.testing.assert_allclose(got, theirs, rtol=5e-4, atol=5e-4)
+
+
+def _det_random_sampling(torch):
+    """Deterministic reference RandomSampling: stride subset matching our
+    eval-mode path (models/randlanet.py: idx = (arange(s) * stride) % n)."""
+
+    def fwd(self, xyz, features=None):
+        b, n, _ = xyz.shape
+        s = max(1, int(n * self.ratio))
+        stride = max(1, n // s)
+        idx = (torch.arange(s) * stride) % n
+        new_xyz = xyz[:, idx]
+        new_features = features[:, idx] if features is not None else None
+        return new_xyz, new_features, idx.unsqueeze(0).repeat(b, 1)
+
+    return fwd
+
+
+def test_randlanet_logits_parity(torch, ref_pkg, monkeypatch):
+    """RandLANet (RandLANet.py:302-443): random sampling pinned to the same
+    deterministic stride subset on both sides (the reference's unseeded
+    torch.randperm is the ONLY stochastic op; everything downstream — kNN,
+    LSE, attentive pooling, DRB, linear-interp upsampling, head — must then
+    agree bitwise-ish)."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.models import get_model
+
+    rl = importlib.import_module("models.RandLANet")
+    monkeypatch.setattr(
+        rl.RandomSampling, "forward", _det_random_sampling(torch)
+    )
+
+    rng = np.random.default_rng(10)
+    # n must keep >= k=16 points at the deepest level (.35 * .25^3 of n):
+    # the reference KNN module has a fixed k (RandLANet.py:48-73)
+    b, n = 1, 4096
+    xyz = rng.uniform(size=(b, n, 3)).astype(np.float32)
+
+    tm = rl.RandLANet(num_classes=5, d_in=3).eval()
+    _randomize_bn(torch, tm, seed=10)
+    ours = get_model("randlanet", num_classes=5)
+
+    variables = _convert_and_check(
+        "randlanet", tm, ours, (jnp.asarray(xyz), None)
+    )
+    with torch.no_grad():
+        theirs = tm(torch.tensor(xyz)).numpy()  # [B, C, N]
+    theirs = np.transpose(theirs, (0, 2, 1))
+    # eval mode (no sampling rng): ours takes the same stride subsets
+    got = np.asarray(ours.apply(variables, jnp.asarray(xyz), None, train=False))
+    np.testing.assert_allclose(got, theirs, rtol=5e-4, atol=5e-4)

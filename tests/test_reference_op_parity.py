@@ -159,3 +159,88 @@ def test_three_nn_interpolation_matches_reference(ref_ops, torch, rng):
         )
     )
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+def test_multiscale_sa_module_matches_reference(ref_ops, torch, rng):
+    """The Highway MSG set-abstraction block (MultiScaleSetAbstraction,
+    pointnet2_utils.py:302-360) with TRANSFERRED torch weights must match our
+    models/common.py module: FPS start pinned to 0 on both sides, randomized
+    BN affine + running stats so the mapping is actually exercised. This
+    carries the module-level parity for the one reference component whose
+    enclosing model (EnhancedPointNet2) is intentionally non-mappable
+    (utils/torch_import.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_bridge_tpu.models.common import MultiScaleSetAbstraction
+    from pointcloud_bridge_tpu.utils.torch_import import (
+        convert_state_dict,
+        validate_variables,
+    )
+
+    b, n, c = 2, 128, 6
+    xyz = rng.uniform(size=(b, n, 3)).astype(np.float32)
+    feats = rng.normal(size=(b, n, c)).astype(np.float32)
+
+    tm = ref_ops.MultiScaleSetAbstraction(
+        npoint=32, radius_list=[0.3, 0.5], nsample_list=[8, 16],
+        in_channel=c + 3, mlp=[16, 32],
+    ).eval()
+    g = torch.Generator().manual_seed(7)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.copy_(0.5 + torch.rand(m.weight.shape, generator=g))
+                m.bias.copy_(0.1 * torch.randn(m.bias.shape, generator=g))
+                m.running_mean.copy_(
+                    0.1 * torch.randn(m.running_mean.shape, generator=g)
+                )
+                m.running_var.copy_(
+                    0.5 + torch.rand(m.running_var.shape, generator=g)
+                )
+
+    ours = MultiScaleSetAbstraction(
+        npoint=32, radius_list=(0.3, 0.5), nsample_list=(8, 16), mlp=(16, 32)
+    )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_state_dict("multiscale_sa", sd, strict=True)
+    init_vars = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(xyz), jnp.asarray(feats),
+        train=False,
+    )
+    validate_variables(variables, init_vars)
+
+    # pin the reference's torch.randint FPS start to 0 (ours defaults to 0)
+    orig_fps = ref_ops.farthest_point_sample
+
+    def det_fps(x, npoint):
+        B, N, _ = x.shape
+        centroids = torch.zeros(B, npoint, dtype=torch.long)
+        distance = torch.ones(B, N) * 1e10
+        farthest = torch.zeros(B, dtype=torch.long)
+        bidx = torch.arange(B, dtype=torch.long)
+        for i in range(npoint):
+            centroids[:, i] = farthest
+            centroid = x[bidx, farthest, :].view(B, 1, 3)
+            dist = torch.sum((x - centroid) ** 2, -1)
+            mask = dist < distance
+            distance[mask] = dist[mask]
+            farthest = torch.max(distance, -1)[1]
+        return centroids
+
+    ref_ops.farthest_point_sample = det_fps
+    try:
+        with torch.no_grad():
+            t_xyz, t_pts = tm(
+                torch.tensor(xyz), torch.tensor(np.swapaxes(feats, 1, 2))
+            )
+    finally:
+        ref_ops.farthest_point_sample = orig_fps
+    theirs_xyz = t_xyz.numpy()
+    theirs = np.swapaxes(t_pts.numpy(), 1, 2)  # [B, S, sum(mlp[-1])]
+
+    got_xyz, got = ours.apply(
+        variables, jnp.asarray(xyz), jnp.asarray(feats), train=False
+    )
+    np.testing.assert_allclose(np.asarray(got_xyz), theirs_xyz, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), theirs, rtol=5e-4, atol=5e-4)
