@@ -30,7 +30,10 @@ import time
 os.environ.setdefault("PCB_FPS_PALLAS", "1")
 
 
-def bench_model(name: str, metric: str, baseline: float, k_iters: int = 12):
+def bench_model(
+    name: str, metric: str, baseline: float, k_iters: int = 12,
+    feature_dim: int = 3,
+):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,7 +44,7 @@ def bench_model(name: str, metric: str, baseline: float, k_iters: int = 12):
     model = get_model(name, num_classes=5)
     rng = np.random.default_rng(0)
     xyz = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
-    feats = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
+    feats = jnp.asarray(rng.uniform(size=(b, n, feature_dim)), jnp.float32)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(
@@ -91,10 +94,22 @@ def bench_model(name: str, metric: str, baseline: float, k_iters: int = 12):
 
 
 def main() -> None:
-    # Driver contract: ONE JSON line, bounded runtime (a second model's
-    # compile pushed past the driver window when tried — r3). The secondary
-    # bristrunet driver-visible metric lives in bench_secondary.py, run
-    # per-round with results committed to benchmark_results/.
+    # The driver parses the LAST JSON line (SSG — series continuity with
+    # BENCH_r01-r03) but records the full tail, so the north-star MSG metric
+    # (BASELINE.md: "PointNet++-MSG inference >= 20x" vs PointNet2's 35,557
+    # GPU pts/s) is emitted first with driver-grade evidence (VERDICT r3 #2).
+    # Runtime is bounded by a shorter chain for MSG (its per-iteration cost
+    # is ~2x SSG); if the MSG compile ever pushes past the driver window the
+    # SSG line still prints because MSG runs inside its own try.
+    # The further secondary metric (bristrunet) lives in bench_secondary.py,
+    # run per-round with results committed to benchmark_results/.
+    try:
+        bench_model(
+            "pointnet2_msg", "pointnet2_msg_inference_points_per_sec",
+            35_557.0, k_iters=8, feature_dim=9,  # 9-ch S3DIS column contract
+        )
+    except Exception:
+        pass  # never block the primary series metric
     bench_model(
         "pointnet2_ssg", "pointnet2_ssg_inference_points_per_sec", 35_557.0
     )
