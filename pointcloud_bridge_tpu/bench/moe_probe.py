@@ -42,7 +42,27 @@ def main(b: int = 4, n: int = 4096, d: int = 384, hid: int = 1536,
         ms = amortized_seconds(
             lambda t: layer.apply(variables, t), x) * 1e3
         results[f"layer_{mode}"] = ms
-        print(f"moe layer  [{mode:>5}] {ms:8.3f} ms", flush=True)
+        print(f"moe layer fwd     [{mode:>5}] {ms:8.3f} ms", flush=True)
+
+        # TRAIN cost (advisor r3 medium): fwd+bwd wrt params AND input —
+        # the backward of the index path's two take_along_axis gathers is a
+        # scatter-add, which this probe prices against the dense einsums'
+        # transposed contractions.
+        def loss_fn(params, t):
+            y = layer.apply({"params": params}, t)
+            return jnp.sum(y * y) * jnp.float32(1e-6)
+
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+
+        def train_like(t):
+            gp, gx = grad_fn(variables["params"], t)
+            leaves = [jnp.sum(g.astype(jnp.float32)) for g in
+                      jax.tree.leaves(gp)]
+            return gx + sum(leaves) * jnp.float32(1e-9)
+
+        ms_t = amortized_seconds(train_like, x, iters=8) * 1e3
+        results[f"layer_train_{mode}"] = ms_t
+        print(f"moe layer fwd+bwd [{mode:>5}] {ms_t:8.3f} ms", flush=True)
 
     if os.environ.get("PCB_MOE_PROBE_MODEL", "0") == "1":
         # chained full-model forwards exceed the relay's remote_compile
@@ -77,10 +97,17 @@ def main(b: int = 4, n: int = 4096, d: int = 384, hid: int = 1536,
     y_idx = np.asarray(jax.jit(lambda t: layer.apply(variables, t))(x))
     os.environ["PCB_MOE_DENSE_DISPATCH"] = "1"
     y_dense = np.asarray(jax.jit(lambda t: layer.apply(variables, t))(x))
-    os.environ["PCB_MOE_DENSE_DISPATCH"] = "0"
     print("max |index - dense| =", float(np.max(np.abs(y_idx - y_dense))))
     print(results)
 
 
 if __name__ == "__main__":
-    main()
+    # restore the caller's env on exit instead of clobbering it (advisor r3)
+    _saved = os.environ.get("PCB_MOE_DENSE_DISPATCH")
+    try:
+        main()
+    finally:
+        if _saved is None:
+            os.environ.pop("PCB_MOE_DENSE_DISPATCH", None)
+        else:
+            os.environ["PCB_MOE_DENSE_DISPATCH"] = _saved
