@@ -37,6 +37,17 @@ splits BSE's per-neighbor Dense into shared+relative parts; identical
 weights therefore cannot produce identical logits BY DESIGN. Its parity
 evidence is component-level (losses, ops, param counts) + convergence
 class, per PARITY.md.
+
+enhanced_pointnet2 (the older SSG+attention variant,
+Highway_bridge/models/enhanced_pointnet2.py:11-98) was ASSESSED for
+mappability (VERDICT r3 weak #6) and is non-mappable for the same reason:
+its live forward path is EnhancedPositionalEncoding + 3x SetAbstraction +
+3x FP + head, and EPE's structure branch carries the identical scrambled
+eigenvalue indexing our closed-form eigensolver intentionally fixes.
+(Its attention1-3/geometric1-3/boundary1-3 members are constructed but
+commented out of forward — dead parameters.) The SA/FP/head subset WOULD
+map with the pointnet2_ssg rules, but partial transfer through a
+diverging encoding is not parity; evidence stays component-level.
 """
 
 from __future__ import annotations
