@@ -89,6 +89,7 @@ def main():
         model, variables, points6, labels, np.ones(num_classes), num_classes,
         block_points=block_points, block_size=bs_norm, stride=stride_norm,
         num_votes=3, batch_size=32, normalize_scene=True,
+        collect_timings=True,
     )
     wall = time.time() - t0
     covered = int((out["vote_pool"].sum(axis=1) > 0).sum())
@@ -102,6 +103,41 @@ def main():
         f"coverage: {covered / n_points:.1%} | OA {m['OA']:.3f} | "
         f"mIoU {m['mIoU']:.3f}"
     )
+
+    # per-phase JSON artifact (VERDICT r3 #7): a regression INSIDE the
+    # 2.5x host-variance band is invisible to end-to-end wall time alone —
+    # the phase decomposition localizes it. grid_s runs on a background
+    # thread overlapped with device work; fetch_s includes waiting out
+    # device compute (inseparable on the async relay).
+    import json
+
+    tm = out["timings"]
+    artifact = {
+        "n_points": n_points,
+        "num_votes": 3,
+        "block_points": block_points,
+        "wall_s": round(wall, 2),
+        "end_to_end_pts_per_s": round(n_points / wall, 1),
+        "phases": {
+            k: ([round(x, 3) for x in v] if isinstance(v, list)
+                else round(v, 3))
+            for k, v in tm.items()
+        },
+        "oa": round(float(m["OA"]), 4),
+        "miou": round(float(m["mIoU"]), 4),
+        "coverage": round(covered / n_points, 4),
+        "note": "grid_s overlaps device work (background thread); "
+                "fetch_s = blocking D2H incl. device compute wait; "
+                "host wall varies up to ~2.5x run-to-run on this box",
+    }
+    out_path = os.environ.get("PCB_STREAM_JSON")
+    if out_path is None:
+        os.makedirs("benchmark_results", exist_ok=True)
+        out_path = f"benchmark_results/large_scene_phases_{n_m:g}M.json"
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("phase artifact ->", out_path)
+    print(json.dumps(artifact["phases"]))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,7 @@ def whole_scene_vote_predict(
     seed: int = 0,
     mesh=None,
     device_gather: bool = True,
+    collect_timings: bool = False,
 ) -> Dict[str, Any]:
     """Predict labels for every point of one scene.
 
@@ -81,8 +82,18 @@ def whole_scene_vote_predict(
         predictions (same rng, same f32 arithmetic, exact gather); 6x less
         host->device traffic and no 9-channel host materialization. False
         restores the host-assembly path.
-    Returns {pred [N], metrics, vote_pool [N, C]}.
+      collect_timings: also return per-phase wall times (VERDICT r3 #8) —
+        {'table_upload_s', and per-vote lists 'grid_s' (host gridding; runs
+        on the background thread OVERLAPPED with the previous vote's device
+        work, so it only bounds wall time when it exceeds that), 'h2d_s'
+        (index/center uploads), 'dispatch_s' (async enqueue of the forward
+        batches), 'fetch_s' (blocking D2H — includes waiting out device
+        compute, inseparable on an async relay), 'scatter_s' (host vote
+        bincount)}. Adds only perf_counter() calls; phase semantics, not a
+        profiler.
+    Returns {pred [N], metrics, vote_pool [N, C][, timings]}.
     """
+    import time as _time
     n = len(points6)
     if normalize_scene:
         from ..data.blocks import normalize_points
@@ -183,16 +194,26 @@ def whole_scene_vote_predict(
     sync_dispatch = mesh is not None and jax.default_backend() == "cpu"
     flat_pool = vote_pool.reshape(-1)
 
+    timings: Dict[str, Any] = {
+        "table_upload_s": 0.0,
+        "grid_s": [], "h2d_s": [], "dispatch_s": [],
+        "fetch_s": [], "scatter_s": [],
+    }
+
     def scatter(parts, idxs, weights, nb):
         # parts: [(device preds [k*B, P], real_rows)] — fetched here, one
         # blocking D2H per chunk, then a single bincount for the vote
+        t0 = _time.perf_counter()
         preds = np.concatenate(
             [np.asarray(p)[:rows] for p, rows in parts]
         )[:nb]
+        t1 = _time.perf_counter()
         flat = idxs.reshape(-1) * num_classes + preds.reshape(-1)
         flat_pool[:] += np.bincount(
             flat, weights=weights.reshape(-1), minlength=flat_pool.size
         )
+        timings["fetch_s"].append(t1 - t0)
+        timings["scatter_s"].append(_time.perf_counter() - t1)
 
     def _pad_batch(a, s, e):
         part = a[s:e]
@@ -212,27 +233,37 @@ def whole_scene_vote_predict(
     cells = [None]  # geometry-only membership, computed once (vote 0)
 
     def _grid(vote):
+        t0 = _time.perf_counter()
         if cells[0] is None:
             cells[0] = precompute_grid_cells(
                 points6, block_size, stride, padding=0.001
             )
         vote_seed = seed + vote * 1009
         if device_gather:
-            return whole_scene_grid_indices(
+            out = whole_scene_grid_indices(
                 points6, labels, labelweights, seed=vote_seed,
                 cells=cells[0], **grid_kw
             )
-        return whole_scene_grid_blocks(
-            points6, labels, labelweights, seed=vote_seed, cells=cells[0],
-            **grid_kw
-        )
+        else:
+            out = whole_scene_grid_blocks(
+                points6, labels, labelweights, seed=vote_seed, cells=cells[0],
+                **grid_kw
+            )
+        timings["grid_s"].append(_time.perf_counter() - t0)
+        return out
 
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1) as gridder:
         # vote 0's gridding overlaps the table build + upload below
         fut = gridder.submit(_grid, 0)
+        t_tab = _time.perf_counter()
         table_dev = _build_table() if device_gather else None
+        if device_gather and collect_timings:
+            # blocking only in timing mode: the default path leaves the
+            # upload async under vote 0's host gridding
+            table_dev.block_until_ready()
+        timings["table_upload_s"] = _time.perf_counter() - t_tab
         for vote in range(num_votes):
             got = fut.result()
             if vote + 1 < num_votes:
@@ -246,6 +277,7 @@ def whole_scene_vote_predict(
             if nb == 0:
                 continue
             preds_parts = []
+            h2d_acc = disp_acc = 0.0
             if device_gather:
                 # Indices go up in FIXED-SIZE chunks of 16 batches: per-batch
                 # feeds are ~0.5 MB and the link is round-trip-bound
@@ -264,8 +296,11 @@ def whole_scene_vote_predict(
                         pad = chunk_rows - (ce - cs)
                         ci = np.concatenate([ci, np.repeat(ci[-1:], pad, 0)])
                         cc = np.concatenate([cc, np.repeat(cc[-1:], pad, 0)])
+                    t_h = _time.perf_counter()
                     idx_dev = jnp.asarray(ci)
                     ctr_dev = jnp.asarray(np.ascontiguousarray(cc))
+                    t_d = _time.perf_counter()
+                    h2d_acc += t_d - t_h
                     cparts = []
                     for s in range(0, ce - cs, batch_size):
                         cparts.append(
@@ -275,6 +310,7 @@ def whole_scene_vote_predict(
                         )
                         if sync_dispatch:
                             cparts[-1].block_until_ready()
+                    disp_acc += _time.perf_counter() - t_d
                     cpred = (
                         cparts[0]
                         if len(cparts) == 1
@@ -298,18 +334,24 @@ def whole_scene_vote_predict(
                 for s in range(0, nb, batch_size):
                     e = min(s + batch_size, nb)
                     chunk = _pad_batch(data, s, e)
+                    t_h = _time.perf_counter()
                     xyz = jnp.asarray(chunk[:, :, :3])
                     if feature_mode == "nine":
                         feats = jnp.asarray(chunk)
                     else:
                         feats = jnp.asarray(chunk[:, :, 3:6])
+                    t_d = _time.perf_counter()
+                    h2d_acc += t_d - t_h
                     cparts.append(forward(xyz, feats))
                     crows += e - s
                     if sync_dispatch:
                         cparts[-1].block_until_ready()
+                    disp_acc += _time.perf_counter() - t_d
                     if len(cparts) == 16:  # bound concat arity + fetch count
                         _flush()
                 _flush()
+            timings["h2d_s"].append(h2d_acc)
+            timings["dispatch_s"].append(disp_acc)
             scatter(preds_parts, idxs, weights, nb)
     pred = vote_pool.argmax(axis=1).astype(np.int32)
     # host bincount: identical integer counts to the device confusion
@@ -322,8 +364,11 @@ def whole_scene_vote_predict(
         .reshape(num_classes, num_classes)
         .astype(np.int64)
     )
-    return {
+    out = {
         "pred": pred,
         "metrics": M.metrics_from_confusion(cm),
         "vote_pool": vote_pool,
     }
+    if collect_timings:
+        out["timings"] = timings
+    return out
