@@ -188,13 +188,15 @@ class PointAttention(nn.Module):
         )(x)
         qkv = qkv.reshape(b, n, 3, h, c // h)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
-        if self.sp_axis:
-            # sequence-parallel: N is a shard of the global point axis; run
-            # global attention as ring attention over the mesh axis
+        if self.sp_axis and not self.window_size:
+            # sequence-parallel GLOBAL attention: N is a shard of the global
+            # point axis; run as ring attention over the mesh axis.
+            # (Windowed + sp_axis needs NO ring: the model slices the
+            # Morton-sorted axis on window boundaries, so this shard's
+            # windows are complete and the plain windowed branch below is
+            # exact — see PointTransformerV3.sp_axis docstring.)
             from ..parallel.ring import ring_attention
 
-            if self.window_size:
-                raise ValueError("sp_axis requires global attention")
             out = ring_attention(q, k, v, self.sp_axis)
         elif self.window_size and n % self.window_size == 0:
             w = self.window_size
@@ -295,11 +297,16 @@ class PointTransformerV3(nn.Module):
     head_drop_rate: float = 0.5  # reference PointTransformerV3.py:226
     window_size: int = 0  # >0 enables serialized windowed attention
     axis_name: Optional[str] = None
-    # sequence-parallel mode (SURVEY §2.9 SP row): the caller shard_maps the
-    # forward with the N axis split over this mesh axis; attention runs as
-    # ring attention (parallel/ring.py) and everything else is pointwise
-    # over N. Set axis_name to the same axis for train-mode BatchNorm so the
-    # head moments span the full point axis.
+    # sequence-parallel mode (SURVEY §2.9 SP row). GLOBAL attention
+    # (window_size=0): the caller shard_maps the forward with the N axis
+    # split over this mesh axis (shard_inputs=True); attention runs as ring
+    # attention (parallel/ring.py) and everything else is pointwise over N.
+    # WINDOWED (window_size>0, round 4): windows are independent, so no
+    # ring — the model runs in the shard_inputs=False contract (full
+    # inputs): Morton sort replicated, the sorted axis sliced on
+    # window-aligned boundaries, trunk+head on the 1/P slice, one logits
+    # all_gather before the inverse permutation. Set axis_name to the same
+    # axis for train-mode BatchNorm so head moments span the full N.
     sp_axis: Optional[str] = None
     # Compute dtype for the wide matmuls (qkv/proj/GEGLU/patch embed).
     # Params and the residual stream stay f32 (LayerNorm/softmax/BN too), so
@@ -356,8 +363,24 @@ class PointTransformerV3(nn.Module):
             x = x[..., : self.d_in]
 
         order = inv_order = None
-        if self.sp_axis and self.window_size:
-            raise ValueError("sp_axis requires global attention (window=0)")
+        sp_windowed = bool(self.sp_axis) and self.window_size > 0
+        if sp_windowed:
+            # Windowed SEQUENCE PARALLELISM (round 4): windows are
+            # independent, so no ring attention is needed — the model runs
+            # in the shard_inputs=False contract (inputs arrive FULL on
+            # every shard): Morton-serialize the full cloud replicated
+            # (cheap: one sort of N keys), slice the sorted point axis on
+            # WINDOW-ALIGNED boundaries (each shard holds complete
+            # windows), run the whole trunk + head on the 1/P slice, and
+            # all_gather the logits once before the inverse permutation.
+            # Exact by construction: a partition of the same per-window
+            # math. Requires (N / P) % window_size == 0.
+            p = jax.lax.axis_size(self.sp_axis)
+            if (n // p) % self.window_size:
+                raise ValueError(
+                    f"windowed sp: per-shard point count {n // p} must be "
+                    f"a multiple of window_size {self.window_size}"
+                )
         if self.window_size:
             # serialize: sort points along the Morton curve so windows are
             # spatially compact (real-PTv3 serialization)
@@ -366,6 +389,11 @@ class PointTransformerV3(nn.Module):
             inv_order = jnp.argsort(order, axis=1)
             x = jnp.take_along_axis(x, order[..., None], axis=1)
             xyz = jnp.take_along_axis(xyz, order[..., None], axis=1)
+        if sp_windowed:
+            from .common import sp_shard_slice
+
+            x = sp_shard_slice(x, self.sp_axis)
+            xyz = sp_shard_slice(xyz, self.sp_axis)
 
         x = nn.Dense(self.embed_dim, dtype=self.compute_dtype,
                      name="patch_embed")(x)
@@ -418,6 +446,10 @@ class PointTransformerV3(nn.Module):
         x = nn.Dropout(self.head_drop_rate, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, name="head_fc2")(x)
 
+        if sp_windowed:
+            logits = jax.lax.all_gather(
+                logits, self.sp_axis, axis=1, tiled=True
+            )
         if inv_order is not None:
             logits = jnp.take_along_axis(logits, inv_order[..., None], axis=1)
         return logits

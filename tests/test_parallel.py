@@ -650,3 +650,90 @@ def test_sp_bristrunet_train_step_matches_single_device():
     bs_ref = np.concatenate([np.asarray(x).ravel()
                              for x in jax.tree.leaves(s_ref.batch_stats)])
     np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_sp_windowed_ptv3_forward_matches_single_device():
+    """Windowed-PTv3 SP (round 4): windows are independent, so the model
+    slices the Morton-sorted axis on window boundaries (shard_inputs=False,
+    no ring) — must reproduce the single-device windowed forward."""
+    from pointcloud_bridge_tpu.parallel import make_sp_forward
+
+    rng = np.random.default_rng(8)
+    b, n, w = 2, 512, 32
+    xyz = rng.uniform(size=(b, n, 3)).astype(np.float32)
+    feats = rng.uniform(size=(b, n, 3)).astype(np.float32)
+
+    kw = dict(num_classes=5, embed_dim=64, depth=2, num_heads=2,
+              window_size=w)
+    ref_model = get_model("ptv3", **kw)
+    variables = ref_model.init(
+        jax.random.PRNGKey(0), xyz[:1], feats[:1], train=False
+    )
+    want = np.asarray(ref_model.apply(variables, xyz, feats, train=False))
+
+    sp_model = get_model("ptv3", sp_axis="sp", **kw)
+    mesh = make_mesh(axis="sp")  # 8 shards x 64 pts = 2 windows each
+    fwd = make_sp_forward(sp_model, mesh, axis="sp", shard_inputs=False)
+    got = np.asarray(fwd(variables, jnp.asarray(xyz), jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
+
+
+def test_sp_windowed_ptv3_train_step_matches_single_device():
+    from pointcloud_bridge_tpu.parallel import make_mesh, make_sp_train_step
+    from pointcloud_bridge_tpu.train.loop import make_train_step
+
+    rng = np.random.default_rng(9)
+    b, n, w = 2, 512, 32
+    batch = {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+    cfg = Config()
+    cfg.loss.name = "weighted_ce"
+    cfg.loss.use_class_weights = True
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    kw = dict(num_classes=5, embed_dim=64, depth=2, num_heads=2,
+              window_size=w, drop_rate=0.0, attn_drop_rate=0.0,
+              head_drop_rate=0.0)
+
+    ref_model = get_model("ptv3", **kw)
+    state0 = create_train_state(ref_model, key, batch, opt)
+    p0 = jax.tree.map(np.asarray, state0.params)
+    ref_step = make_train_step(ref_model, cfg.loss, opt, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    cw = jnp.asarray([0.5, 1.0, 2.0, 1.5, 0.25], jnp.float32)
+    s_ref, m_ref = ref_step(state0, jb, jnp.float32(1e-3), cw, key)
+
+    sp_model = get_model("ptv3", sp_axis="sp", axis_name="sp", **kw)
+    mesh = make_mesh(axis="sp")
+    sp_step = make_sp_train_step(sp_model, cfg.loss, opt, mesh, axis="sp",
+                                 donate=False, shard_inputs=False)
+    s_sp, m_sp = sp_step(
+        state0,
+        {k: jnp.asarray(batch[k]) for k in ("points", "colors", "labels")},
+        jnp.float32(1e-3), cw, key,
+    )
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=2e-4
+    )
+
+    def flat_delta(a, b2):
+        return np.concatenate([
+            (np.asarray(x) - np.asarray(y)).ravel()
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b2))
+        ])
+
+    d_sp = flat_delta(s_sp.params, p0)
+    d_ref = flat_delta(s_ref.params, p0)
+    cos = float(d_sp @ d_ref / (np.linalg.norm(d_sp) * np.linalg.norm(d_ref)))
+    assert cos > 0.95, cos
+
+    bs_sp = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree.leaves(s_sp.batch_stats)])
+    bs_ref = np.concatenate([np.asarray(x).ravel()
+                             for x in jax.tree.leaves(s_ref.batch_stats)])
+    np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-3, atol=1e-5)
