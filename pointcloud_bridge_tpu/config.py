@@ -92,6 +92,15 @@ class ParallelConfig:
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all available
     dtype: str = "float32"  # compute dtype for the model ("bfloat16" on TPU)
+    # "dp" = data parallelism (batch sharded); "sp" = sequence parallelism
+    # (the N point axis sharded: ring attention for global-attention PTv3,
+    # query-axis sharding for the neighborhood models / windowed PTv3 —
+    # parallel/sp.py). Both engage only when num_devices requests a mesh.
+    mode: str = "dp"
+    # SP input contract: -1 = infer from the model (ptv3-family with global
+    # attention shards inputs over N; everything else uses the
+    # shard_inputs=False full-input contract); 0/1 force.
+    sp_shard_inputs: int = -1
 
 
 @dataclass

@@ -61,6 +61,64 @@ def make_sp_forward(model, mesh: Mesh, axis: str = "sp",
     return jax.jit(sharded)
 
 
+def make_sp_eval_step(model, num_classes: int, mesh: Mesh, axis: str = "sp",
+                      shard_inputs: bool = True):
+    """Sharded eval for SP models (mirrors parallel/train_step.py's
+    make_dp_eval_step signature: (params, batch_stats, batch, class_weights)
+    -> (confusion_matrix, loss)).
+
+    shard_inputs=True (PTv3 global / ring attention): points/colors/labels
+    shard over the N axis; the per-shard confusion matrix and weighted-CE
+    sums psum over the axis so the returned (cm, loss) equal the
+    single-device values. shard_inputs=False (neighborhood models, windowed
+    PTv3): inputs replicated, the model slices/gathers internally and
+    returns FULL logits on every shard, so cm/loss are computed full and
+    are identical across shards — no reduction needed.
+    """
+    from ..utils import metrics as M
+
+    def per_shard(params, batch_stats, batch, class_weights):
+        xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, xyz, feats,
+            train=False,
+        )
+        mask = jnp.broadcast_to(batch["mask"][:, None], labels.shape)
+        if shard_inputs:
+            numer, denom = L.weighted_cross_entropy_sums(
+                logits, labels, class_weights, 0.0
+            )
+            loss = jax.lax.psum(numer, axis) / jnp.maximum(
+                jax.lax.psum(denom, axis), 1e-8
+            )
+            preds = jnp.argmax(logits, axis=-1)
+            cm = M.masked_confusion_matrix(preds, labels, mask, num_classes)
+            cm = jax.lax.psum(cm, axis)
+        else:
+            loss = L.weighted_cross_entropy(logits, labels, class_weights)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = M.masked_confusion_matrix(preds, labels, mask, num_classes)
+        return cm, loss
+
+    bspec = P(None, axis) if shard_inputs else P()
+    batch_spec = {
+        "points": bspec, "colors": bspec, "labels": bspec, "mask": P(),
+    }
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def step(params, batch_stats, batch, class_weights):
+        b = {k: batch[k] for k in ("points", "colors", "labels", "mask")}
+        return sharded(params, batch_stats, b, class_weights)
+
+    return jax.jit(step)
+
+
 def make_sp_train_step(
     model, loss_cfg, optimizer, mesh: Mesh, axis: str = "sp",
     donate: bool = True, dp_axis: Optional[str] = None,

@@ -282,18 +282,25 @@ def train(
     except Exception:
         pass
 
-    # data-parallel mesh (config.parallel.num_devices: 0 = single-device,
-    # >1 or -1 = DP over that many / all devices; SURVEY.md §2.9)
+    # device mesh (config.parallel.num_devices: 0 = single-device, >1 or -1
+    # = a mesh over that many / all devices; SURVEY.md §2.9). mode selects
+    # the parallelism: "dp" shards the batch, "sp" shards the N point axis
+    # (parallel/sp.py; ring attention or query-axis sharding per model).
     ndev_req = config.parallel.num_devices
     n_avail = len(jax.devices())
-    use_dp = (ndev_req == -1 and n_avail > 1) or ndev_req > 1
+    use_mesh = (ndev_req == -1 and n_avail > 1) or ndev_req > 1
+    par_mode = config.parallel.mode if use_mesh else "none"
+    if par_mode not in ("none", "dp", "sp"):
+        raise ValueError(f"unknown parallel.mode '{par_mode}'")
     mesh = None
-    if use_dp:
+    sp_model = None
+    sp_shard_inputs = True
+    if use_mesh:
         from ..parallel import make_mesh
 
         ndev = n_avail if ndev_req == -1 else min(ndev_req, n_avail)
         mesh = make_mesh(ndev, config.parallel.data_axis)
-        if tcfg.batch_size % ndev:
+        if par_mode == "dp" and tcfg.batch_size % ndev:
             raise ValueError(
                 f"batch_size {tcfg.batch_size} must divide the mesh size {ndev}"
             )
@@ -301,6 +308,26 @@ def train(
 
     if model is None:
         model = get_model(mcfg.name, mcfg.num_classes, **mcfg.extra)
+    if par_mode == "sp":
+        if getattr(tcfg, "accum_steps", 1) > 1:
+            raise ValueError("accum_steps is not supported with parallel.mode=sp")
+        forced = config.parallel.sp_shard_inputs
+        if forced in (0, 1):
+            sp_shard_inputs = bool(forced)
+        else:
+            # ptv3-family GLOBAL attention shards inputs over N (ring
+            # attention); neighborhood models and windowed PTv3 use the
+            # full-input contract (the model slices the query axis itself)
+            sp_shard_inputs = (
+                mcfg.name in ("ptv3", "ptv3_moe")
+                and not mcfg.extra.get("window_size")
+            )
+        # the sp twin applies the SAME param tree with the axis threaded
+        # (sp.py docstring); `model` (no sp_axis) stays for init/checkpoints
+        sp_model = get_model(
+            mcfg.name, mcfg.num_classes,
+            **dict(mcfg.extra, sp_axis=config.parallel.data_axis),
+        )
     optimizer = make_optimizer(tcfg.weight_decay)
     rng = jax.random.PRNGKey(tcfg.seed)
 
@@ -358,7 +385,36 @@ def train(
     class_weights = L.class_weights_from_counts(jnp.asarray(counts))
     logger.info(f"class weights: {np.asarray(class_weights)}")
 
-    if mesh is not None:
+    if mesh is not None and par_mode == "sp":
+        from ..parallel import make_sp_eval_step, make_sp_train_step, replicate
+
+        axis = config.parallel.data_axis
+        state = replicate(state, mesh)
+        class_weights = replicate(class_weights, mesh)
+        sp_step = make_sp_train_step(
+            sp_model, config.loss, optimizer, mesh, axis=axis,
+            donate=tcfg.donate, shard_inputs=sp_shard_inputs,
+        )
+
+        def train_step(st, batch, lr, cw, rng):
+            b = {k: batch[k] for k in ("points", "colors", "labels")}
+            return sp_step(st, b, lr, cw, rng)
+
+        eval_step = make_sp_eval_step(
+            sp_model, mcfg.num_classes, mesh, axis,
+            shard_inputs=sp_shard_inputs,
+        )
+        logger.info(
+            f"sequence-parallel over {mesh.devices.size} devices "
+            f"(shard_inputs={sp_shard_inputs})"
+        )
+
+        def put_batch(b):
+            return {k: jnp.asarray(v) for k, v in b.items()}
+
+        if ema_params is not None:
+            ema_params = replicate(ema_params, mesh)
+    elif mesh is not None:
         from ..parallel import (
             make_dp_eval_step,
             make_dp_train_step,
