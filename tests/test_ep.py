@@ -81,7 +81,9 @@ def test_moe_index_dispatch_matches_dense_dispatch(monkeypatch):
     def loss(v, x):
         return jnp.sum(layer.apply(v, x) ** 2)
 
-    monkeypatch.delenv("PCB_MOE_DENSE_DISPATCH", raising=False)
+    # "0" opts into the index/sort dispatch (round 4: dense is the default —
+    # the index path is the measured-slower opt-in, kept exact + tested)
+    monkeypatch.setenv("PCB_MOE_DENSE_DISPATCH", "0")
     y_idx = np.asarray(jax.jit(fwd)(variables, x))
     g_idx = jax.jit(jax.grad(loss))(variables, x)
     monkeypatch.setenv("PCB_MOE_DENSE_DISPATCH", "1")
