@@ -42,6 +42,10 @@ def main(argv=None) -> None:
                          "working tree moves on)")
     args = ap.parse_args(argv)
 
+    from .utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()  # PCB_COMPILE_CACHE, default off
+
     import jax
 
     from .utils.checkpoint import restore_checkpoint

@@ -88,6 +88,10 @@ def main(argv=None) -> None:
     ap.add_argument("--case", default=None)
     args = ap.parse_args(argv)
 
+    from .utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()  # PCB_COMPILE_CACHE, default off
+
     from .config import Config
 
     cfg = Config.from_yaml(args.config) if args.config else Config()

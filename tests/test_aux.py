@@ -241,3 +241,37 @@ def test_load_snapshot_models(tmp_path):
     # the class must come from the snapshot tree, not the installed package
     mod_file = sys.modules[type(m).__module__].__file__
     assert str(tmp_path) in mod_file, mod_file
+
+
+def test_persistent_compile_cache(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache: env-gated, writes cache entries.
+
+    Cross-process hit timing is the TPU story (utils/compile_cache.py
+    docstring has the measured numbers); here we assert the plumbing — off
+    when unset, on via PCB_COMPILE_CACHE, entries appear after a compile —
+    then restore the config so the rest of the suite doesn't cache."""
+    from pointcloud_bridge_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    monkeypatch.delenv("PCB_COMPILE_CACHE", raising=False)
+    assert enable_persistent_compilation_cache() is None
+
+    cache_dir = tmp_path / "xla_cache"
+    monkeypatch.setenv("PCB_COMPILE_CACHE", str(cache_dir))
+    try:
+        assert enable_persistent_compilation_cache() == str(cache_dir)
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x.T) + x.sum()
+
+        np.asarray(f(jnp.ones((64, 64), jnp.float32)))
+        entries = [
+            os.path.join(r, fn)
+            for r, _, fns in os.walk(cache_dir)
+            for fn in fns
+        ]
+        assert entries, "no cache entries written after a jit compile"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
