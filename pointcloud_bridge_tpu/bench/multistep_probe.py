@@ -1,0 +1,119 @@
+"""Measure steps_per_dispatch (train/loop.py::make_multi_train_step).
+
+bench/trainbreak.py showed the SSG train step is ~5 ms device compute while
+eva_model's host-loop timing records ~12 ms/step — the difference is
+per-dispatch relay overhead. This probe times the REAL host loop (the thing
+train() runs: put batch, call step, keep metrics on device, fetch once) at
+K = 1 vs K = 8 steps per dispatch, same total step count, and reports
+wall/step. min-of-reps; the first timed loop is preceded by a full warm-up
+of both programs.
+
+Usage: python -m pointcloud_bridge_tpu.bench.multistep_probe [steps] [reps]
+Writes benchmark_results/multistep_probe.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B, N, C_IN, CLASSES = 4, 4096, 3, 5
+
+
+def _batches(count, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        {
+            "points": rng.uniform(size=(B, N, 3)).astype(np.float32),
+            "colors": rng.uniform(size=(B, N, C_IN)).astype(np.float32),
+            "labels": rng.integers(0, CLASSES, (B, N)).astype(np.int32),
+        }
+        for _ in range(count)
+    ]
+
+
+def main() -> None:
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..models import get_model
+    from ..train.loop import (
+        create_train_state,
+        make_multi_train_step,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    model = get_model("pointnet2_ssg", num_classes=CLASSES)
+    opt = make_optimizer()
+    batches = _batches(steps)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state0 = create_train_state(model, jax.random.PRNGKey(0), batches[0], opt)
+    state0 = jax.device_put(state0, jax.devices()[0])
+    rng = jax.random.PRNGKey(1)
+    cw = jnp.ones(CLASSES)
+    lr = jnp.float32(1e-3)
+
+    results = {}
+    for k in (1, 8):
+        if k == 1:
+            step = make_train_step(model, cfg.loss, opt, donate=False)
+            groups = [
+                {key: jnp.asarray(v) for key, v in b.items()} for b in batches
+            ]
+        else:
+            step = make_multi_train_step(model, cfg.loss, opt, k, donate=False)
+            groups = [
+                {
+                    key: jnp.asarray(np.stack([b[key] for b in batches[i:i + k]]))
+                    for key in batches[0]
+                }
+                for i in range(0, steps, k)
+            ]
+
+        def loop():
+            st, ms = state0, []
+            for g in groups:
+                st, m = step(st, g, lr, cw, rng)
+                ms.append(m)
+            # the deferred once-per-epoch fetch train() does
+            return float(np.mean(np.concatenate(
+                [np.ravel(np.asarray(m["loss"])) for m in ms]
+            )))
+
+        loop()  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            loss = loop()
+            best = min(best, time.perf_counter() - t0)
+        per_step = best / steps
+        results[f"k{k}"] = {
+            "wall_s": best, "ms_per_step": per_step * 1e3, "loss": loss,
+        }
+        print(f"k={k}: {per_step * 1e3:.2f} ms/step (loss {loss:.4f})")
+
+    results["speedup"] = (
+        results["k1"]["ms_per_step"] / results["k8"]["ms_per_step"]
+    )
+    print(f"speedup: {results['speedup']:.2f}x")
+    os.makedirs("benchmark_results", exist_ok=True)
+    with open("benchmark_results/multistep_probe.json", "w") as f:
+        json.dump({"B": B, "N": N, "steps": steps, **results}, f, indent=1)
+    print("wrote benchmark_results/multistep_probe.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,13 @@ class TrainConfig:
     # on top of whichever scheduler is active; 0 disables). Standard for the
     # transformer models (ptv3); the reference has no warmup.
     warmup_epochs: int = 0
+    # >1 runs this many FULL optimizer steps per jit dispatch on a stacked
+    # batch (one enqueue + one K-sized H2D upload instead of K of each) —
+    # exactly K sequential steps by construction, per-step metrics
+    # preserved, EMA applied per inner step. Single-device engine only;
+    # mutually exclusive with accum_steps. See train/loop.py::
+    # make_multi_train_step for why (dispatch amortization).
+    steps_per_dispatch: int = 1
 
 
 @dataclass

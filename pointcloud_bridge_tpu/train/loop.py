@@ -105,6 +105,25 @@ def prefetch_to_device(batch_iter, put: Callable, size: int = 2):
         yield item
 
 
+def group_batches(batch_iter, k: int):
+    """Stack consecutive same-shape numpy batches into [k, ...] dicts for
+    make_multi_train_step. A shape change (the ragged final batch of an
+    epoch) flushes the buffer un-stacked, and leftovers at iterator end pass
+    through un-stacked — the caller dispatches on points.ndim (4 = stacked)."""
+    buf = []
+    for b in batch_iter:
+        if buf and any(
+            np.shape(b[key]) != np.shape(buf[0][key]) for key in buf[0]
+        ):
+            yield from buf
+            buf = []
+        buf.append(b)
+        if len(buf) == k:
+            yield {key: np.stack([x[key] for x in buf]) for key in buf[0]}
+            buf = []
+    yield from buf
+
+
 def _loss_fn_for(loss_cfg) -> Callable:
     """Returns loss(logits, labels, xyz, class_weights) -> scalar."""
     name = loss_cfg.name
@@ -130,8 +149,9 @@ def _loss_fn_for(loss_cfg) -> Callable:
     return fn
 
 
-def make_train_step(model, loss_cfg, optimizer, donate: bool = True):
-    loss_fn = _loss_fn_for(loss_cfg)
+def _step_body(model, loss_fn, optimizer):
+    """The un-jitted single-train-step body shared by make_train_step and
+    make_multi_train_step (so K-step dispatch is K of EXACTLY this)."""
 
     def step(state: TrainState, batch, lr, class_weights, rng):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
@@ -163,6 +183,69 @@ def make_train_step(model, loss_cfg, optimizer, donate: bool = True):
             opt_state=new_opt,
         )
         return new_state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_train_step(model, loss_cfg, optimizer, donate: bool = True):
+    step = _step_body(model, _loss_fn_for(loss_cfg), optimizer)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(
+    model, loss_cfg, optimizer, k: int, donate: bool = True,
+    ema_decay: float = 0.0,
+):
+    """K FULL optimizer steps in ONE jit dispatch over a stacked batch
+    ({points: [K, B, ...], colors: [K, B, ...], labels: [K, B, ...]}).
+
+    No reference counterpart (torch eager pays per-op dispatch either way).
+    Motivation is dispatch amortization: the SSG step's device compute is
+    ~5 ms but each dispatch costs ~7 ms of relay overhead in the host loop
+    (bench/trainbreak.py round-4 accounting) — and even on directly-attached
+    hosts one enqueue + one K-sized H2D transfer beats K of each. Exactly K
+    sequential make_train_step steps by construction: the same _step_body
+    runs K times with the state threaded through, state.step increments
+    inside, and the dropout key is fold_in(rng, state.step) per inner step —
+    the identical key schedule the single-step loop produces.
+
+    The inner loop is UNROLLED python (static K), not lax.scan: Pallas
+    kernels mis-compile inside scan bodies on this stack (CLAUDE.md).
+
+    Metrics come back stacked [K] per key so per-step logging is preserved.
+    ema_decay > 0 additionally threads an EMA param tree through the K
+    steps (decay applied after EVERY inner step, matching the outer
+    per-step ema_update exactly); the step then takes and returns that tree:
+    (state, ema) , batches, ... -> (state, ema, metrics).
+    """
+    body = _step_body(model, _loss_fn_for(loss_cfg), optimizer)
+
+    def run(state: TrainState, batches, lr, class_weights, rng, ema=None):
+        metrics = []
+        for i in range(k):
+            b = {key: v[i] for key, v in batches.items()
+                 if key in ("points", "colors", "labels")}
+            state, m = body(state, b, lr, class_weights, rng)
+            if ema is not None:
+                ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema, state.params,
+                )
+            metrics.append(m)
+        stacked = {
+            key: jnp.stack([m[key] for m in metrics]) for key in metrics[0]
+        }
+        return state, ema, stacked
+
+    if ema_decay > 0.0:
+        def step(state, ema, batches, lr, class_weights, rng):
+            return run(state, batches, lr, class_weights, rng, ema)
+
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    def step(state, batches, lr, class_weights, rng):
+        new_state, _, stacked = run(state, batches, lr, class_weights, rng)
+        return new_state, stacked
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -292,6 +375,18 @@ def train(
     par_mode = config.parallel.mode if use_mesh else "none"
     if par_mode not in ("none", "dp", "sp"):
         raise ValueError(f"unknown parallel.mode '{par_mode}'")
+    spd = max(1, int(getattr(tcfg, "steps_per_dispatch", 1)))
+    multi_step = None
+    if spd > 1:
+        if use_mesh:
+            raise ValueError(
+                "steps_per_dispatch > 1 currently supports the "
+                "single-device engine only"
+            )
+        if getattr(tcfg, "accum_steps", 1) > 1:
+            raise ValueError(
+                "steps_per_dispatch and accum_steps are mutually exclusive"
+            )
     mesh = None
     sp_model = None
     sp_shard_inputs = True
@@ -452,6 +547,12 @@ def train(
             train_step = make_train_step(
                 model, config.loss, optimizer, tcfg.donate
             )
+        if spd > 1:
+            multi_step = make_multi_train_step(
+                model, config.loss, optimizer, spd, tcfg.donate,
+                ema_decay=float(getattr(tcfg, "ema_decay", 0.0)),
+            )
+            logger.info(f"multi-step dispatch: {spd} steps per jit call")
         eval_step = make_eval_step(model, mcfg.num_classes)
 
         def put_batch(b):
@@ -489,13 +590,26 @@ def train(
         # relay — 4x the 12.8 ms SSG step) and serializes dispatch; deferring
         # the fetch lets steps pipeline.
         step_metrics = []
-        for batch in prefetch_to_device(
-            train_ds.batches(
-                tcfg.batch_size, shuffle=True, seed=tcfg.seed, epoch=epoch
-            ),
-            put_batch,
-            tcfg.prefetch,
-        ):
+        batch_iter = train_ds.batches(
+            tcfg.batch_size, shuffle=True, seed=tcfg.seed, epoch=epoch
+        )
+        if multi_step is not None:
+            # stack k host batches -> ONE upload + ONE k-step dispatch;
+            # the ragged epoch tail passes through as single steps
+            batch_iter = group_batches(batch_iter, spd)
+        for batch in prefetch_to_device(batch_iter, put_batch, tcfg.prefetch):
+            if multi_step is not None and batch["points"].ndim == 4:
+                if ema_params is not None:
+                    state, ema_params, m = multi_step(
+                        state, ema_params, batch, jnp.float32(eff_lr),
+                        class_weights, rng,
+                    )
+                else:
+                    state, m = multi_step(
+                        state, batch, jnp.float32(eff_lr), class_weights, rng
+                    )
+                step_metrics.append(m)
+                continue
             state, m = train_step(
                 state, batch, jnp.float32(eff_lr), class_weights, rng
             )
@@ -505,8 +619,13 @@ def train(
         nb = len(step_metrics)
         if nb:
             fetched = jax.device_get(step_metrics)
-            tr_loss = float(np.mean([f["loss"] for f in fetched]))
-            tr_acc = float(np.mean([f["acc"] for f in fetched]))
+            # ravel: multi-step dispatches return stacked [k] metrics
+            tr_loss = float(np.mean(np.concatenate(
+                [np.ravel(f["loss"]) for f in fetched]
+            )))
+            tr_acc = float(np.mean(np.concatenate(
+                [np.ravel(f["acc"]) for f in fetched]
+            )))
         else:
             tr_loss = tr_acc = 0.0
 
