@@ -12,7 +12,11 @@ sharded over the mesh with PTv3 global attention as ring attention.
 """
 
 from .mesh import make_mesh, make_named_mesh, shard_batch, replicate
-from .train_step import make_dp_train_step, make_dp_eval_step
+from .train_step import (
+    make_dp_train_step,
+    make_dp_multi_train_step,
+    make_dp_eval_step,
+)
 from .sharding import (
     make_2d_mesh,
     make_tp_train_step,
@@ -56,6 +60,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "make_dp_train_step",
+    "make_dp_multi_train_step",
     "make_dp_eval_step",
     "make_2d_mesh",
     "make_tp_train_step",

@@ -25,10 +25,19 @@ def make_named_mesh(shape, axes) -> Mesh:
     return Mesh(devices, tuple(axes))
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Put a host batch onto the mesh, sharded along the leading axis."""
+def shard_batch(
+    batch: Dict[str, Any], mesh: Mesh, axis: str = "data", dim: int = 0
+):
+    """Put a host batch onto the mesh, sharded along array dim `dim`.
+
+    dim=0 is the plain per-step batch (shard B); dim=1 handles the stacked
+    [K, B, ...] batches of multi-step dispatch (shard B, replicate the step
+    axis K)."""
     def put(x):
-        spec = P(axis) if np.ndim(x) >= 1 else P()
+        if np.ndim(x) > dim:
+            spec = P(*([None] * dim + [axis]))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return {k: put(np.asarray(v)) for k, v in batch.items()}

@@ -27,14 +27,10 @@ from ..train.loop import TrainState, _loss_fn_for
 from ..utils import metrics as M
 
 
-def make_dp_train_step(
-    model, loss_cfg, optimizer, mesh: Mesh, axis: str = "data", donate: bool = True
-):
-    """Returns step(state, sharded_batch, lr, class_weights, rng) -> (state, metrics).
-
-    `model` must be constructed with axis_name=`axis` for sync-BN.
-    """
-    loss_fn = _loss_fn_for(loss_cfg)
+def _dp_step_body(model, loss_fn, optimizer, axis: str):
+    """The un-shard_mapped per-shard single-step body, shared by
+    make_dp_train_step and make_dp_multi_train_step (K-step dispatch is K of
+    EXACTLY this)."""
 
     def per_shard(state: TrainState, batch, lr, class_weights, rng):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
@@ -75,17 +71,95 @@ def make_dp_train_step(
         )
         return new_state, {"loss": loss, "acc": acc}
 
-    batch_spec = {
-        "points": P(axis),
-        "colors": P(axis),
-        "labels": P(axis),
-        "mask": P(axis),
-        "block_ids": P(axis),
+    return per_shard
+
+
+def _dp_batch_spec(axis: str, lead_dims: int = 0):
+    """PartitionSpec dict for a batch; lead_dims=1 for the stacked [K, B, ...]
+    multi-step layout (K replicated, B sharded)."""
+    spec = P(*([None] * lead_dims + [axis]))
+    return {
+        "points": spec,
+        "colors": spec,
+        "labels": spec,
+        "mask": spec,
+        "block_ids": spec,
     }
+
+
+def make_dp_train_step(
+    model, loss_cfg, optimizer, mesh: Mesh, axis: str = "data", donate: bool = True
+):
+    """Returns step(state, sharded_batch, lr, class_weights, rng) -> (state, metrics).
+
+    `model` must be constructed with axis_name=`axis` for sync-BN.
+    """
+    per_shard = _dp_step_body(model, _loss_fn_for(loss_cfg), optimizer, axis)
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), batch_spec, P(), P(), P()),
+        in_specs=(P(), _dp_batch_spec(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_multi_train_step(
+    model, loss_cfg, optimizer, mesh: Mesh, k: int, axis: str = "data",
+    donate: bool = True, ema_decay: float = 0.0,
+):
+    """K full data-parallel optimizer steps in ONE jit/shard_map dispatch
+    over a stacked batch sharded on its SECOND dim ([K, B, ...]: K
+    replicated step slots, B sharded over the mesh).
+
+    Same contract as train/loop.py::make_multi_train_step (dispatch
+    amortization; exactly K sequential make_dp_train_step calls by
+    construction — the shared per-shard body threads the state, so sync-BN,
+    pmean'd grads/metrics, and the per-replica dropout schedule are all
+    identical), with the same stacked [K] metrics and the same optional EMA
+    threading: ema_decay > 0 changes the signature to
+    step(state, ema, batches, lr, class_weights, rng) -> (state, ema, metrics).
+    """
+    body = _dp_step_body(model, _loss_fn_for(loss_cfg), optimizer, axis)
+
+    def run(state, batches, lr, class_weights, rng, ema=None):
+        metrics = []
+        for i in range(k):
+            b = {key: v[i] for key, v in batches.items()
+                 if key in ("points", "colors", "labels")}
+            state, m = body(state, b, lr, class_weights, rng)
+            if ema is not None:
+                ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema, state.params,
+                )
+            metrics.append(m)
+        stacked = {
+            key: jnp.stack([m[key] for m in metrics]) for key in metrics[0]
+        }
+        return state, ema, stacked
+
+    spec = _dp_batch_spec(axis, lead_dims=1)
+    if ema_decay > 0.0:
+        def per_shard(state, ema, batches, lr, class_weights, rng):
+            return run(state, batches, lr, class_weights, rng, ema)
+
+        sharded = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), spec, P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+
+    def per_shard(state, batches, lr, class_weights, rng):
+        new_state, _, stacked = run(state, batches, lr, class_weights, rng)
+        return new_state, stacked
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), spec, P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

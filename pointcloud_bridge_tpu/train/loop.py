@@ -378,10 +378,10 @@ def train(
     spd = max(1, int(getattr(tcfg, "steps_per_dispatch", 1)))
     multi_step = None
     if spd > 1:
-        if use_mesh:
+        if use_mesh and par_mode != "dp":
             raise ValueError(
-                "steps_per_dispatch > 1 currently supports the "
-                "single-device engine only"
+                "steps_per_dispatch > 1 supports the single-device and dp "
+                "engines (sp steps are not yet stackable)"
             )
         if getattr(tcfg, "accum_steps", 1) > 1:
             raise ValueError(
@@ -523,13 +523,23 @@ def train(
             model, config.loss, optimizer, mesh, config.parallel.data_axis,
             donate=tcfg.donate,
         )
+        if spd > 1:
+            from ..parallel import make_dp_multi_train_step
+
+            multi_step = make_dp_multi_train_step(
+                model, config.loss, optimizer, mesh, spd,
+                axis=config.parallel.data_axis, donate=tcfg.donate,
+                ema_decay=float(getattr(tcfg, "ema_decay", 0.0)),
+            )
+            logger.info(f"multi-step dispatch: {spd} steps per jit call")
         eval_step = make_dp_eval_step(
             model, mcfg.num_classes, mesh, config.parallel.data_axis
         )
         logger.info(f"data-parallel over {mesh.devices.size} devices")
 
         def put_batch(b):
-            return shard_batch(b, mesh, config.parallel.data_axis)
+            dim = 1 if np.asarray(b["points"]).ndim == 4 else 0
+            return shard_batch(b, mesh, config.parallel.data_axis, dim=dim)
 
         if ema_params is not None:
             ema_params = replicate(ema_params, mesh)

@@ -199,3 +199,54 @@ def test_multistep_config_guards(tmp_path):
     cfg.train.accum_steps = 2
     with pytest.raises(ValueError, match="mutually exclusive"):
         train(cfg, None, exp_dir=str(tmp_path / "g"))
+
+
+def test_dp_multi_step_equals_sequential_dp_steps():
+    """make_dp_multi_train_step(k) == k sequential make_dp_train_step calls
+    on the 8-way mesh (plain-SGD transform; stacked batch sharded on dim 1)."""
+    from pointcloud_bridge_tpu.parallel import (
+        make_dp_multi_train_step,
+        make_dp_train_step,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    mesh = make_mesh()
+    model = get_model(
+        "pointnet2_ssg", num_classes=5, axis_name="data",
+        sa_npoints=(32, 16, 8), dropout_rate=0.5,
+    )
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = optax.identity()
+    k = 2
+    batches = [_batch(8, seed=20 + s) for s in range(k)]
+    rng = jax.random.PRNGKey(2)
+    cw = jnp.ones(5)
+    lr = jnp.float32(1e-2)
+
+    state = create_train_state(model, rng, batches[0], opt)
+    state = replicate(state, mesh)
+    cwr = replicate(cw, mesh)
+
+    single = make_dp_train_step(model, cfg.loss, opt, mesh, donate=False)
+    st = state
+    seq_losses = []
+    for b in batches:
+        st, m = single(st, shard_batch(b, mesh), lr, cwr, rng)
+        seq_losses.append(float(m["loss"]))
+
+    multi = make_dp_multi_train_step(model, cfg.loss, opt, mesh, k,
+                                     donate=False)
+    stacked = {key: np.stack([b[key] for b in batches]) for key in batches[0]}
+    st_m, ms = multi(state, shard_batch(stacked, mesh, dim=1), lr, cwr, rng)
+
+    assert int(st_m.step) == int(st.step)
+    _tree_close(st_m.params, st.params)
+    _tree_close(st_m.batch_stats, st.batch_stats)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses,
+                               atol=1e-6, rtol=1e-6)
+    # stacked outputs stay replicated
+    assert jax.tree.leaves(st_m.params)[0].sharding.is_fully_replicated
