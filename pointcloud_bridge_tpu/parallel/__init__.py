@@ -26,7 +26,12 @@ from .sharding import (
 from .ring import ring_attention
 from .ep import make_ep_mesh, make_ep_train_step, ep_state_shardings
 from .fsdp import fsdp_state_shardings, make_fsdp_mesh, make_fsdp_train_step
-from .sp import make_sp_eval_step, make_sp_forward, make_sp_train_step
+from .sp import (
+    make_sp_eval_step,
+    make_sp_forward,
+    make_sp_train_step,
+    make_sp_multi_train_step,
+)
 from .pp import (
     make_pp_forward,
     make_pp_state,
@@ -55,6 +60,7 @@ __all__ = [
     "make_sp_eval_step",
     "make_sp_forward",
     "make_sp_train_step",
+    "make_sp_multi_train_step",
     "make_mesh",
     "make_named_mesh",
     "shard_batch",

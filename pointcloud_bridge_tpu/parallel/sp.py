@@ -162,6 +162,24 @@ def make_sp_train_step(
             "(it reads whole-cloud xyz statistics); SP training supports "
             "ce/weighted_ce only"
         )
+    per_shard = _sp_step_body(model, loss_cfg, optimizer, axis, dp_axis)
+    bspec = (
+        P(dp_axis, axis) if shard_inputs else P(dp_axis)
+    )  # dp_axis=None -> batch dim replicated
+    batch_spec = {"points": bspec, "colors": bspec, "labels": bspec}
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), batch_spec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def _sp_step_body(model, loss_cfg, optimizer, axis: str, dp_axis):
+    """The un-shard_mapped per-shard single-step body, shared by
+    make_sp_train_step and make_sp_multi_train_step."""
 
     def per_shard(state: TrainState, batch, lr, class_weights, rng):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
@@ -215,13 +233,73 @@ def make_sp_train_step(
         )
         return new_state, {"loss": loss, "acc": acc}
 
+    return per_shard
+
+
+def make_sp_multi_train_step(
+    model, loss_cfg, optimizer, mesh: Mesh, k: int, axis: str = "sp",
+    donate: bool = True, dp_axis: Optional[str] = None,
+    shard_inputs: bool = True, ema_decay: float = 0.0,
+):
+    """K full sequence-parallel optimizer steps in ONE jit/shard_map
+    dispatch over a stacked batch ([K, B, N, ...]: K replicated step slots,
+    then the usual SP layout — N sharded when shard_inputs, replicated
+    otherwise).
+
+    Same contract as train/loop.py::make_multi_train_step (dispatch
+    amortization; exactly K sequential make_sp_train_step calls by
+    construction — the shared per-shard body threads the state, so the
+    decomposed psum'd loss, pmean'd grads/BN stats, and the per-shard
+    dropout schedule are all identical). Stacked [K] metrics; ema_decay > 0
+    threads an EMA tree through the K steps and changes the signature to
+    step(state, ema, batches, lr, class_weights, rng) -> (state, ema, metrics).
+    """
+    if loss_cfg.name not in ("ce", "weighted_ce"):
+        raise ValueError(
+            f"loss '{loss_cfg.name}' is not decomposable over N-axis shards "
+            "(it reads whole-cloud xyz statistics); SP training supports "
+            "ce/weighted_ce only"
+        )
+    body = _sp_step_body(model, loss_cfg, optimizer, axis, dp_axis)
+
+    def run(state, batches, lr, class_weights, rng, ema=None):
+        metrics = []
+        for i in range(k):
+            b = {key: v[i] for key, v in batches.items()}
+            state, m = body(state, b, lr, class_weights, rng)
+            if ema is not None:
+                ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema, state.params,
+                )
+            metrics.append(m)
+        stacked = {
+            key: jnp.stack([m[key] for m in metrics]) for key in metrics[0]
+        }
+        return state, ema, stacked
+
     bspec = (
-        P(dp_axis, axis) if shard_inputs else P(dp_axis)
-    )  # dp_axis=None -> batch dim replicated
+        P(None, dp_axis, axis) if shard_inputs else P(None, dp_axis)
+    )
     batch_spec = {"points": bspec, "colors": bspec, "labels": bspec}
+    if ema_decay > 0.0:
+        def per_shard(state, ema, batches, lr, class_weights, rng):
+            return run(state, batches, lr, class_weights, rng, ema)
+
+        sharded = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), batch_spec, P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+
+    def per_shard(state, batches, lr, class_weights, rng):
+        new_state, _, stacked = run(state, batches, lr, class_weights, rng)
+        return new_state, stacked
+
     sharded = shard_map(
-        per_shard,
-        mesh=mesh,
+        per_shard, mesh=mesh,
         in_specs=(P(), batch_spec, P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,

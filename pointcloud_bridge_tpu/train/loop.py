@@ -377,16 +377,10 @@ def train(
         raise ValueError(f"unknown parallel.mode '{par_mode}'")
     spd = max(1, int(getattr(tcfg, "steps_per_dispatch", 1)))
     multi_step = None
-    if spd > 1:
-        if use_mesh and par_mode != "dp":
-            raise ValueError(
-                "steps_per_dispatch > 1 supports the single-device and dp "
-                "engines (sp steps are not yet stackable)"
-            )
-        if getattr(tcfg, "accum_steps", 1) > 1:
-            raise ValueError(
-                "steps_per_dispatch and accum_steps are mutually exclusive"
-            )
+    if spd > 1 and getattr(tcfg, "accum_steps", 1) > 1:
+        raise ValueError(
+            "steps_per_dispatch and accum_steps are mutually exclusive"
+        )
     mesh = None
     sp_model = None
     sp_shard_inputs = True
@@ -494,6 +488,24 @@ def train(
         def train_step(st, batch, lr, cw, rng):
             b = {k: batch[k] for k in ("points", "colors", "labels")}
             return sp_step(st, b, lr, cw, rng)
+
+        if spd > 1:
+            from ..parallel import make_sp_multi_train_step
+
+            sp_multi = make_sp_multi_train_step(
+                sp_model, config.loss, optimizer, mesh, spd, axis=axis,
+                donate=tcfg.donate, shard_inputs=sp_shard_inputs,
+                ema_decay=float(getattr(tcfg, "ema_decay", 0.0)),
+            )
+            if getattr(tcfg, "ema_decay", 0.0) > 0.0:
+                def multi_step(st, ema_t, batch, lr, cw, rng):
+                    b = {k: batch[k] for k in ("points", "colors", "labels")}
+                    return sp_multi(st, ema_t, b, lr, cw, rng)
+            else:
+                def multi_step(st, batch, lr, cw, rng):
+                    b = {k: batch[k] for k in ("points", "colors", "labels")}
+                    return sp_multi(st, b, lr, cw, rng)
+            logger.info(f"multi-step dispatch: {spd} steps per jit call")
 
         eval_step = make_sp_eval_step(
             sp_model, mcfg.num_classes, mesh, axis,

@@ -250,3 +250,85 @@ def test_dp_multi_step_equals_sequential_dp_steps():
                                atol=1e-6, rtol=1e-6)
     # stacked outputs stay replicated
     assert jax.tree.leaves(st_m.params)[0].sharding.is_fully_replicated
+
+
+def test_sp_multi_step_equals_sequential_sp_steps():
+    """make_sp_multi_train_step(k) == k sequential make_sp_train_step calls
+    on the 8-way mesh (query-sharded SSG, shard_inputs=False, plain SGD)."""
+    from pointcloud_bridge_tpu.parallel import (
+        make_mesh,
+        make_sp_multi_train_step,
+        make_sp_train_step,
+    )
+
+    mesh = make_mesh(axis="sp")
+    model = get_model(
+        "pointnet2_ssg", num_classes=5, sp_axis="sp", axis_name="sp",
+        sa_npoints=(32, 16, 8), dropout_rate=0.5,
+    )
+    cfg = Config()
+    cfg.loss.name = "ce"
+    cfg.loss.use_class_weights = False
+    opt = optax.identity()
+    k = 2
+    batches = [_batch(2, seed=30 + s) for s in range(k)]
+    rng = jax.random.PRNGKey(3)
+    cw = jnp.ones(5)
+    lr = jnp.float32(1e-2)
+
+    # init with the plain twin (same param tree; the sp model needs the
+    # mesh axis bound) — exactly what train() does
+    plain = get_model("pointnet2_ssg", num_classes=5, sa_npoints=(32, 16, 8),
+                      dropout_rate=0.5)
+    state = create_train_state(plain, rng, batches[0], opt)
+
+    single = make_sp_train_step(model, cfg.loss, opt, mesh, axis="sp",
+                                donate=False, shard_inputs=False)
+    st = state
+    seq_losses = []
+    for b in batches:
+        jb = {key: jnp.asarray(b[key])
+              for key in ("points", "colors", "labels")}
+        st, m = single(st, jb, lr, cw, rng)
+        seq_losses.append(float(m["loss"]))
+
+    multi = make_sp_multi_train_step(model, cfg.loss, opt, mesh, k,
+                                     axis="sp", donate=False,
+                                     shard_inputs=False)
+    stacked = {key: jnp.asarray(np.stack([b[key] for b in batches]))
+               for key in ("points", "colors", "labels")}
+    st_m, ms = multi(state, stacked, lr, cw, rng)
+
+    assert int(st_m.step) == int(st.step)
+    _tree_close(st_m.params, st.params)
+    _tree_close(st_m.batch_stats, st.batch_stats)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses,
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_train_engine_sp_multistep_with_ema(tmp_path):
+    """train() with parallel.mode=sp + steps_per_dispatch=2 + EMA runs
+    end-to-end on the 8-way mesh (covers the EMA-threaded sp multi-step
+    wrapper) and learns."""
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(30000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=4.0, sample_rate=0.3,
+                                  file_name="toy", seed=0)[:13]
+    ds = BlockDataset.from_blocks(blocks, ["toy"], augment=False)
+    cfg = Config.from_dict(
+        {"num_classes": 5, "batch_size": 4, "num_epochs": 2,
+         "model": "pointnet2_ssg"}
+    )
+    cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "sp"
+    cfg.train.steps_per_dispatch = 2
+    cfg.train.ema_decay = 0.9
+    out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
+    assert len(out["history"]) == 2
+    assert out["history"][-1]["train_loss"] < out["history"][0]["train_loss"]
+    assert out["best_val_acc"] > 0
