@@ -54,6 +54,9 @@ def main(workdir: str = "/tmp/pcb_example") -> None:
     )
     cfg.model.extra = {"sa_npoints": (256, 64, 16)}
     cfg.data.augment = False
+    # K steps per jit dispatch: the relay charges ~7 ms per dispatch while
+    # the step computes in ~5 (bench/trainbreak.py); stacking amortizes it
+    cfg.train.steps_per_dispatch = 8
     tr, va = build_datasets(cfg)
     out = train(cfg, tr, va)
     print(f"best val OA: {out['best_val_acc']:.4f}")

@@ -27,35 +27,61 @@ def run_block_inference(
     batch_size: int = 16,
 ) -> Dict[str, Any]:
     """Returns {global: metrics, per_file: {name: metrics}, predictions:
-    [NB, P] int32 aligned with dataset block order}."""
+    [NB, P] int32 aligned with dataset block order}.
+
+    Relay-aware feed (round 4, same lessons as infer/vote.py): the whole
+    block tensor uploads ONCE and batches slice on device — per-batch
+    upload + dispatch + blocking fetch cost ~3 relay round trips per batch
+    (~150 ms for a ~2 ms forward); async dispatches over device slices cost
+    one. Predictions fetch once at the end. The tail batch re-slices the
+    last `batch_size` rows (clamped start — recompute beats a padded
+    recompile). Confusion matrices are one host-side np.bincount over
+    (file, label, pred) keys — the previous per-block jitted CM was one
+    ~50 ms dispatch per block on the relay.
+    """
+    nb_total = len(dataset)
+    p = dataset.num_points
+    bsz = min(batch_size, nb_total)
 
     @jax.jit
-    def forward(xyz, feats):
+    def forward_at(pts, cols, start):
+        xyz = jax.lax.dynamic_slice_in_dim(pts, start, bsz)
+        feats = jax.lax.dynamic_slice_in_dim(cols, start, bsz)
         logits = model.apply(variables, xyz, feats, train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    nb_total = len(dataset)
-    preds_all = np.zeros((nb_total, dataset.num_points), np.int32)
-    for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
-        preds = np.asarray(
-            forward(jnp.asarray(batch["points"]), jnp.asarray(batch["colors"]))
-        )
-        ids = batch["block_ids"][batch["mask"]]
-        preds_all[ids] = preds[batch["mask"]]
+    preds_all = np.zeros((nb_total, p), np.int32)
+    if nb_total:
+        pts_d = jnp.asarray(np.asarray(dataset.points, np.float32))
+        cols_d = jnp.asarray(np.asarray(dataset.colors, np.float32))
+        starts = list(range(0, nb_total - bsz + 1, bsz))
+        if starts[-1] + bsz < nb_total:
+            starts.append(nb_total - bsz)  # overlapping tail slice
+        outs = [forward_at(pts_d, cols_d, s) for s in starts]  # async
+        fetched = np.asarray(jnp.stack(outs))  # ONE blocking fetch
+        for j, s in enumerate(starts):
+            preds_all[s : s + bsz] = fetched[j]
 
-    global_cm = np.zeros((num_classes, num_classes), np.int64)
+    # per-file + global CMs in one bincount pass (np.add.at-style loops are
+    # ~10x slower at multi-M updates — CLAUDE.md host-scatter note)
+    labels = np.asarray(dataset.labels, np.int64)  # [NB, P]
+    file_ids = np.asarray(dataset.file_ids, np.int64)  # [NB]
+    nf = len(dataset.file_names)
+    key = (
+        file_ids[:, None] * (num_classes * num_classes)
+        + labels * num_classes
+        + preds_all
+    )
+    per_file = np.bincount(
+        key.ravel(), minlength=nf * num_classes * num_classes
+    ).reshape(nf, num_classes, num_classes)
+    global_cm = per_file.sum(axis=0)
     per_file_cm: Dict[str, np.ndarray] = {}
-    for i in range(nb_total):
-        cm = np.asarray(
-            M.confusion_matrix(
-                jnp.asarray(preds_all[i]), jnp.asarray(dataset.labels[i]), num_classes
-            )
-        )
-        global_cm += cm
-        fname = dataset.file_names[int(dataset.file_ids[i])]
-        per_file_cm[fname] = per_file_cm.get(
-            fname, np.zeros((num_classes, num_classes), np.int64)
-        ) + cm
+    for fi, fname in enumerate(dataset.file_names):
+        if per_file[fi].sum():
+            per_file_cm[fname] = per_file_cm.get(
+                fname, np.zeros((num_classes, num_classes), np.int64)
+            ) + per_file[fi]
 
     return {
         "global": M.metrics_from_confusion(global_cm),
