@@ -324,6 +324,26 @@ def make_accum_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_eval_step(eval_step, k: int):
+    """K eval batches in ONE jit dispatch: slices a stacked [K, B, ...]
+    batch dict and calls the per-batch `eval_step` K times (jit-of-jit
+    inlines, so this wraps the single-device, dp, AND sp eval steps alike —
+    their shard_maps partition each slice exactly as before). Returns the
+    K-summed confusion matrix and stacked [K] losses. Same dispatch
+    amortization rationale as make_multi_train_step."""
+
+    def step(params, batch_stats, batches, class_weights):
+        cm_sum, losses = None, []
+        for i in range(k):
+            b = {key: v[i] for key, v in batches.items()}
+            cm, loss = eval_step(params, batch_stats, b, class_weights)
+            cm_sum = cm if cm_sum is None else cm_sum + cm
+            losses.append(loss)
+        return cm_sum, jnp.stack(losses)
+
+    return jax.jit(step)
+
+
 def make_eval_step(model, num_classes: int):
     def step(params, batch_stats, batch, class_weights):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
@@ -580,6 +600,10 @@ def train(
         def put_batch(b):
             return {k: jnp.asarray(v) for k, v in b.items()}
 
+    # K val batches per dispatch too (generic: wraps whichever engine's
+    # eval_step was built above)
+    multi_eval = make_multi_eval_step(eval_step, spd) if spd > 1 else None
+
     plateau = ReduceLROnPlateau(
         lr=tcfg.learning_rate,
         factor=tcfg.plateau_factor,
@@ -664,22 +688,32 @@ def train(
         eval_params = ema_params if ema_params is not None else state.params
         if val_ds is not None and len(val_ds) > 0:
             cms, losses = [], []  # device-side; fetched once after the loop
-            for batch in prefetch_to_device(
-                val_ds.batches(tcfg.batch_size, shuffle=False, drop_last=False),
-                put_batch,
-                tcfg.prefetch,
-            ):
-                cm, loss = eval_step(
-                    eval_params, state.batch_stats, batch, class_weights
-                )
-                cms.append(cm)
-                losses.append(loss)
-            vb = len(losses)
+            val_iter = val_ds.batches(
+                tcfg.batch_size, shuffle=False, drop_last=False
+            )
+            if multi_eval is not None:
+                val_iter = group_batches(val_iter, spd)
+            for batch in prefetch_to_device(val_iter, put_batch, tcfg.prefetch):
+                if multi_eval is not None and batch["points"].ndim == 4:
+                    cm, loss = multi_eval(
+                        eval_params, state.batch_stats, batch, class_weights
+                    )
+                else:
+                    cm, loss = eval_step(
+                        eval_params, state.batch_stats, batch, class_weights
+                    )
+                cms.append(cm)  # multi: already K-summed [C, C]
+                losses.append(loss)  # multi: stacked [K]
             cms, losses = jax.device_get((cms, losses))
+            flat_losses = (
+                np.concatenate([np.ravel(l) for l in losses])
+                if losses else np.zeros(0)
+            )
+            vb = flat_losses.size  # actual eval-batch count, not dispatches
             cm_total = np.sum(np.asarray(cms), axis=0) if vb else np.zeros(
                 (mcfg.num_classes, mcfg.num_classes)
             )
-            val_loss = float(np.sum(losses)) if vb else 0.0
+            val_loss = float(flat_losses.sum()) if vb else 0.0
             mets = M.metrics_from_confusion(cm_total)
             val_acc = mets["OA"]
             row.update(

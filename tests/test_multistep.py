@@ -332,3 +332,33 @@ def test_train_engine_sp_multistep_with_ema(tmp_path):
     assert len(out["history"]) == 2
     assert out["history"][-1]["train_loss"] < out["history"][0]["train_loss"]
     assert out["best_val_acc"] > 0
+
+
+def test_multi_eval_step_equals_sequential_evals():
+    """make_multi_eval_step(eval_step, k) returns the K-summed CM and
+    stacked [K] losses of k sequential eval_step calls."""
+    from pointcloud_bridge_tpu.train.loop import (
+        make_eval_step,
+        make_multi_eval_step,
+    )
+
+    model = _model()
+    opt = optax.identity()
+    k = 3
+    batches = [_batch(2, seed=40 + s) for s in range(k)]
+    state = create_train_state(model, jax.random.PRNGKey(4), batches[0], opt)
+    cw = jnp.ones(5)
+
+    single = make_eval_step(model, 5)
+    cms, losses = [], []
+    for b in batches:
+        jb = {key: jnp.asarray(v) for key, v in b.items()}
+        cm, loss = single(state.params, state.batch_stats, jb, cw)
+        cms.append(np.asarray(cm))
+        losses.append(float(loss))
+
+    multi = make_multi_eval_step(single, k)
+    cm_m, losses_m = multi(state.params, state.batch_stats, _stack(batches), cw)
+    np.testing.assert_array_equal(np.asarray(cm_m), np.sum(cms, axis=0))
+    np.testing.assert_allclose(np.asarray(losses_m), losses,
+                               atol=1e-6, rtol=1e-6)
