@@ -1,12 +1,20 @@
 """Measure steps_per_dispatch (train/loop.py::make_multi_train_step).
 
-bench/trainbreak.py showed the SSG train step is ~5 ms device compute while
-eva_model's host-loop timing records ~12 ms/step — the difference is
-per-dispatch relay overhead. This probe times the REAL host loop (the thing
-train() runs: put batch, call step, keep metrics on device, fetch once) at
-K = 1 vs K = 8 steps per dispatch, same total step count, and reports
-wall/step. min-of-reps; the first timed loop is preceded by a full warm-up
-of both programs.
+What it times: EXACTLY the feed path train() runs per epoch — fresh numpy
+batches through prefetch_to_device (background-thread jnp.asarray + async
+step dispatch), metrics kept on device and device_get ONCE after the loop —
+at K = 1 vs K = 8 steps per dispatch, same total step count.
+
+Why this shape matters (round-4 post-mortem of this probe's first version):
+the naive K=1 loop that np.asarray'd each step's loss read 28 ms/step, but
+~23 ms of that was its OWN 32 scalar fetches (each a ~25 ms relay round
+trip) — with the deferred fetch both dispatch paths run at the ~5 ms device
+floor when the batch is already on device (buffer identity is irrelevant:
+reuse-1-buffer 5.01 vs 32-distinct 4.95 ms/step, measured). The cost
+multi-step actually amortizes in the REAL loop is the per-batch H2D
+UPLOADS (3 arrays x ~25 ms relay RTT per step; the prefetch thread overlaps
+them with compute but the relay serializes transfers): one stacked K-batch
+upload pays the RTT once per K steps.
 
 Usage: python -m pointcloud_bridge_tpu.bench.multistep_probe [steps] [reps]
 Writes benchmark_results/multistep_probe.json.
@@ -66,34 +74,34 @@ def main() -> None:
     cw = jnp.ones(CLASSES)
     lr = jnp.float32(1e-3)
 
+    from ..train.loop import group_batches, prefetch_to_device
+
+    def put(b):
+        return {key: jnp.asarray(v) for key, v in b.items()}
+
     results = {}
     for k in (1, 8):
         if k == 1:
             step = make_train_step(model, cfg.loss, opt, donate=False)
-            groups = [
-                {key: jnp.asarray(v) for key, v in b.items()} for b in batches
-            ]
         else:
             step = make_multi_train_step(model, cfg.loss, opt, k, donate=False)
-            groups = [
-                {
-                    key: jnp.asarray(np.stack([b[key] for b in batches[i:i + k]]))
-                    for key in batches[0]
-                }
-                for i in range(0, steps, k)
-            ]
 
         def loop():
+            # the train() epoch loop verbatim: background-thread uploads,
+            # async step dispatch, ONE deferred metric fetch at the end
+            it = iter(batches)
+            if k > 1:
+                it = group_batches(it, k)
             st, ms = state0, []
-            for g in groups:
-                st, m = step(st, g, lr, cw, rng)
+            for b in prefetch_to_device(it, put, 2):
+                st, m = step(st, b, lr, cw, rng)
                 ms.append(m)
-            # the deferred once-per-epoch fetch train() does
+            fetched = jax.device_get(ms)
             return float(np.mean(np.concatenate(
-                [np.ravel(np.asarray(m["loss"])) for m in ms]
+                [np.ravel(f["loss"]) for f in fetched]
             )))
 
-        loop()  # compile + warm
+        loss = loop()  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
