@@ -102,12 +102,29 @@ class ParallelConfig:
     # "dp" = data parallelism (batch sharded); "sp" = sequence parallelism
     # (the N point axis sharded: ring attention for global-attention PTv3,
     # query-axis sharding for the neighborhood models / windowed PTv3 —
-    # parallel/sp.py). Both engage only when num_devices requests a mesh.
+    # parallel/sp.py); "fsdp" = ZeRO-3 (params + optimizer moments sharded
+    # over the data axis alongside the batch — parallel/fsdp.py); "pp" =
+    # pipeline parallelism (the ptv3 family's homogeneous block stack
+    # stage-sharded, GPipe microbatch schedule — parallel/pp.py;
+    # checkpoints stay in the canonical single-device layout). All
+    # engage only when num_devices requests a mesh.
     mode: str = "dp"
     # SP input contract: -1 = infer from the model (ptv3-family with global
     # attention shards inputs over N; everything else uses the
     # shard_inputs=False full-input contract); 0/1 force.
     sp_shard_inputs: int = -1
+    # GPipe microbatches per step for mode="pp" (0 = one per stage);
+    # batch_size must divide it. Bubble fraction is (P-1)/(M+P-1).
+    pp_microbatches: int = 0
+    # mode="tp": size of the model axis on the ("data", "model") mesh
+    # (num_devices must divide it; the batch shards over the data axis) —
+    # parallel/sharding.py column-parallel Dense kernels via GSPMD.
+    tp_axis_size: int = 2
+    # mode="ep": size of the expert axis on the ("data", "expert") mesh
+    # (experts_* param leaves shard their leading E axis — parallel/ep.py;
+    # the MoE model family), and the router load-balance aux-loss weight.
+    ep_axis_size: int = 2
+    ep_aux_coef: float = 1e-2
 
 
 @dataclass

@@ -77,6 +77,64 @@ def segment_stats(feats: jax.Array, onehot: jax.Array, assign: jax.Array):
     return mx, mean, std
 
 
+def _quantile_pick(vals: jax.Array, segk: jax.Array,
+                   med_i: jax.Array, q75_i: jax.Array):
+    """Index-based per-segment median/q75 picks with a custom VJP.
+
+    vals [B, C, N] float, segk [B, C, N] int32 segment keys, med_i/q75_i
+    [B, S] int32 positions into the (segment, value)-sorted order; returns
+    (med, q75) each [B, C, S].
+
+    Perf design (spgq_probe on v5e, B=4 N=4096 C=256 S=81): the naive
+    differentiable 2-key sort costs 1.3 ms fwd but 41.9 ms fwd+bwd —
+    lax.sort's VJP tracks the permutation and its transpose scatters the
+    full [B, C, N] payload twice. Gathering the picked values from the
+    ORIGINAL features at sort-recovered source indices fixes the backward
+    (5.7 ms) but costs 4.9 ms fwd: per-channel [B, C, S]-indexed general
+    gathers replace the sorted array's broadcast-index gathers. This
+    custom_vjp takes the best half of each: the FORWARD reads the sorted
+    values at broadcast positions (and records the picked points' original
+    indices from an iota payload riding the same sort); the BACKWARD
+    scatter-adds the cotangents straight to those indices — exactly the
+    a.e. derivative of an index pick ("1 on the selected element"), at
+    [B, C, S] scatter cost. Measured 1.7 ms fwd / 2.3 ms fwd+bwd.
+    """
+    b, c, n = vals.shape
+
+    def parts(v):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, c, n), 2)
+        _, sv, src = jax.lax.sort((segk, v, iota), dimension=-1, num_keys=2)
+        med = jnp.take_along_axis(sv, med_i[:, None, :], axis=2)
+        q75 = jnp.take_along_axis(sv, q75_i[:, None, :], axis=2)
+        med_src = jnp.take_along_axis(src, med_i[:, None, :], axis=2)
+        q75_src = jnp.take_along_axis(src, q75_i[:, None, :], axis=2)
+        return med, q75, med_src, q75_src
+
+    @jax.custom_vjp
+    def pick(v):
+        med, q75, _, _ = parts(v)
+        return med, q75
+
+    dtype = vals.dtype  # static at trace time; residuals stay JAX arrays
+
+    def pick_fwd(v):
+        med, q75, med_src, q75_src = parts(v)
+        return (med, q75), (med_src, q75_src)
+
+    def pick_bwd(res, cts):
+        med_src, q75_src = res
+        dmed, dq75 = cts
+        bi = jnp.arange(b)[:, None, None]
+        ci = jnp.arange(c)[None, :, None]
+        dv = jnp.zeros((b, c, n), dtype)
+        dv = dv.at[bi, ci, med_src].add(dmed.astype(dtype))
+        dv = dv.at[bi, ci, q75_src].add(dq75.astype(dtype))
+        return (dv,)
+
+    pick.defvjp(pick_fwd, pick_bwd)
+    return pick(vals)
+
+
 def segment_quantile_stats(feats: jax.Array, onehot: jax.Array,
                            assign: jax.Array):
     """EXACT per-superpoint [max, mean, std, median, q75] matching the
@@ -93,8 +151,9 @@ def segment_quantile_stats(feats: jax.Array, onehot: jax.Array,
     becomes ONE batched 2-key lexicographic sort per channel — sort N
     points by (segment id, value), then each segment's sorted run is the
     contiguous rows [start_s, start_s + cnt_s) and the quantile picks are
-    two take_along_axis gathers at static offsets. O(C * N log N) total,
-    no [S, N] masks materialized.
+    broadcast-index gathers at static offsets, with an index-routed custom
+    VJP so the backward never differentiates the sort (_quantile_pick).
+    O(C * N log N) total, no [S, N] masks materialized.
 
     feats [B, N, C], onehot [B, N, S], assign [B, N] -> each [B, S, C].
     """
@@ -121,17 +180,13 @@ def segment_quantile_stats(feats: jax.Array, onehot: jax.Array,
         assign[:, None, :].astype(jnp.int32), (b, c, n)
     )
     vals = jnp.swapaxes(feats, 1, 2)  # [B, C, N]
-    _, sv = jax.lax.sort((segk, vals), dimension=-1, num_keys=2)
     start = jnp.cumsum(cnt, axis=-1) - cnt  # [B, S] exclusive prefix
     last = jnp.maximum(cnt - 1, 0)
     med_i = start + jnp.minimum(cnt // 2, last)
     q75_i = start + jnp.minimum(3 * cnt // 4, last)
-    med = jnp.swapaxes(
-        jnp.take_along_axis(sv, med_i[:, None, :], axis=2), 1, 2
-    )  # [B, S, C]
-    q75 = jnp.swapaxes(
-        jnp.take_along_axis(sv, q75_i[:, None, :], axis=2), 1, 2
-    )
+    med, q75 = _quantile_pick(vals, segk, med_i, q75_i)  # [B, C, S]
+    med = jnp.swapaxes(med, 1, 2)  # [B, S, C]
+    q75 = jnp.swapaxes(q75, 1, 2)
     nonempty = cnt[..., None] > 0
     med = jnp.where(nonempty, med, 0.0)
     q75 = jnp.where(nonempty, q75, 0.0)

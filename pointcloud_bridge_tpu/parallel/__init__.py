@@ -33,11 +33,14 @@ from .sp import (
     make_sp_multi_train_step,
 )
 from .pp import (
+    make_pp_eval_step,
     make_pp_forward,
     make_pp_state,
     make_pp_train_step,
     pp_place_state,
+    pp_stack_state,
     pp_state_specs,
+    pp_unstack_state,
     stack_ptv3_params,
     unstack_ptv3_params,
 )
@@ -50,11 +53,14 @@ __all__ = [
     "make_fsdp_mesh",
     "make_fsdp_train_step",
     "fsdp_state_shardings",
+    "make_pp_eval_step",
     "make_pp_forward",
     "make_pp_state",
     "make_pp_train_step",
     "pp_place_state",
+    "pp_stack_state",
     "pp_state_specs",
+    "pp_unstack_state",
     "stack_ptv3_params",
     "unstack_ptv3_params",
     "make_sp_eval_step",

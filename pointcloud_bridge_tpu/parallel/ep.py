@@ -119,12 +119,30 @@ def make_ep_train_step(
             {"loss": task_loss, "aux_loss": aux, "acc": acc},
         )
 
+    cache: Dict[str, Any] = {}
+
     def place(state: TrainState, batch: Dict[str, np.ndarray]):
-        sh = ep_state_shardings(state, mesh)
-        state = jax.device_put(state, sh)
+        cache["sh"] = ep_state_shardings(state, mesh)
+        state = jax.device_put(state, cache["sh"])
         batch = {
             k: jax.device_put(jnp.asarray(v), batch_sh) for k, v in batch.items()
         }
         return state, batch
 
-    return jax.jit(step, donate_argnums=(0,)), place
+    repl = NamedSharding(mesh, P())
+
+    def stepper(state, batch, lr, class_weights, rng):
+        if "fn" not in cache:
+            # pin the output state to the expert shardings so updated
+            # params/moments never silently re-replicate between steps
+            sh = cache.get("sh") or ep_state_shardings(state, mesh)
+            cache["fn"] = jax.jit(
+                step,
+                donate_argnums=(0,),
+                out_shardings=(
+                    sh, {"loss": repl, "aux_loss": repl, "acc": repl}
+                ),
+            )
+        return cache["fn"](state, batch, lr, class_weights, rng)
+
+    return stepper, place

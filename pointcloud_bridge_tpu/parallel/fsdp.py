@@ -31,37 +31,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..train.loop import TrainState, _loss_fn_for
 
 
-def make_fsdp_mesh(n: int) -> Mesh:
-    """1-D ("data",) mesh over the first n devices."""
-    return Mesh(np.asarray(jax.devices()[:n]), ("data",))
+def make_fsdp_mesh(n: int, axis: str = "data") -> Mesh:
+    """1-D (axis,) mesh over the first n devices."""
+    return Mesh(np.asarray(jax.devices()[:n]), (axis,))
 
 
-def _fsdp_rule(x, mesh: Mesh, min_elems: int):
+def _fsdp_rule(x, mesh: Mesh, min_elems: int, axis: str = "data"):
     """Shard the largest axis divisible by the mesh; replicate the rest.
 
     Applies equally to optimizer moments (they mirror param shapes);
     scalars / small leaves / indivisible shapes replicate.
     """
-    n = mesh.shape["data"]
+    n = mesh.shape[axis]
     if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_elems:
         return NamedSharding(mesh, P())
     divisible = [d for d in range(x.ndim) if x.shape[d] % n == 0 and x.shape[d] >= n]
     if not divisible:
         return NamedSharding(mesh, P())
-    axis = max(divisible, key=lambda d: x.shape[d])
+    dim = max(divisible, key=lambda d: x.shape[d])
     spec = [None] * x.ndim
-    spec[axis] = "data"
+    spec[dim] = axis
     return NamedSharding(mesh, P(*spec))
 
 
 def fsdp_state_shardings(
-    state: TrainState, mesh: Mesh, min_elems: int = 1 << 12
+    state: TrainState, mesh: Mesh, min_elems: int = 1 << 12,
+    axis: str = "data",
 ) -> TrainState:
     """Sharding tree for the whole train state: params and optimizer moments
-    split their largest divisible axis over "data"; step/batch_stats
+    split their largest divisible axis over the data axis; step/batch_stats
     replicate (BN stats are tiny and consumed everywhere)."""
     repl = NamedSharding(mesh, P())
-    rule = lambda x: _fsdp_rule(x, mesh, min_elems)  # noqa: E731
+    rule = lambda x: _fsdp_rule(x, mesh, min_elems, axis)  # noqa: E731
     return TrainState(
         step=repl,
         params=jax.tree.map(rule, state.params),
@@ -71,17 +72,18 @@ def fsdp_state_shardings(
 
 
 def make_fsdp_train_step(
-    model, loss_cfg, optimizer, mesh: Mesh, min_elems: int = 1 << 12
+    model, loss_cfg, optimizer, mesh: Mesh, min_elems: int = 1 << 12,
+    axis: str = "data",
 ):
-    """ZeRO-3 train step over a ("data",) mesh.
+    """ZeRO-3 train step over a 1-D (axis,) mesh.
 
     Returns (step, place): place(state, batch) device_puts the state with
-    FSDP shardings and the batch sharded over "data"; step(state, batch,
-    lr, class_weights, rng) runs one update. The body is the logical
+    FSDP shardings and the batch sharded over the data axis; step(state,
+    batch, lr, class_weights, rng) runs one update. The body is the logical
     single-device program; the partitioner places the collectives.
     """
     loss_fn = _loss_fn_for(loss_cfg)
-    batch_sh = NamedSharding(mesh, P("data"))
+    batch_sh = NamedSharding(mesh, P(axis))
 
     def step(state: TrainState, batch, lr, class_weights, rng):
         xyz, feats, labels = batch["points"], batch["colors"], batch["labels"]
@@ -113,7 +115,7 @@ def make_fsdp_train_step(
     repl = NamedSharding(mesh, P())
 
     def place(state: TrainState, batch: Dict[str, np.ndarray]):
-        cache["sh"] = fsdp_state_shardings(state, mesh, min_elems)
+        cache["sh"] = fsdp_state_shardings(state, mesh, min_elems, axis)
         state = jax.device_put(state, cache["sh"])
         batch = {
             k: jax.device_put(jnp.asarray(v), batch_sh) for k, v in batch.items()
@@ -124,7 +126,9 @@ def make_fsdp_train_step(
         if "fn" not in cache:
             # pin the output state to the FSDP shardings so updated
             # params/moments never silently re-replicate between steps
-            sh = cache.get("sh") or fsdp_state_shardings(state, mesh, min_elems)
+            sh = cache.get("sh") or fsdp_state_shardings(
+                state, mesh, min_elems, axis
+            )
             cache["fn"] = jax.jit(
                 step,
                 donate_argnums=(0,),

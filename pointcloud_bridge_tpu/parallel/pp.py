@@ -420,3 +420,79 @@ def make_pp_state(model, rng, sample_batch, optimizer) -> TrainState:
         batch_stats=st.batch_stats,
         opt_state=optimizer.init(params),
     )
+
+
+# ---------------------------------------------------------------------------
+# engine integration (train.loop parallel.mode="pp"): canonical <-> stacked
+# whole-state conversion (checkpoints stay in the single-device layout, Adam
+# moments included, so PP runs resume from / hand off to any other mode) and
+# a (cm, loss) eval step matching the train loop's eval contract.
+
+
+def _map_param_trees(node, params_treedef, fn):
+    """Apply fn to every subtree of an optax state whose pytree structure
+    equals the params treedef (Adam's mu/nu — any moment tree that mirrors
+    the params), recursing through the (named)tuples optax states are built
+    from. Scalars (Adam's count) and empty states pass through untouched."""
+    if jax.tree.structure(node) == params_treedef:
+        return fn(node)
+    if isinstance(node, tuple):
+        mapped = [_map_param_trees(c, params_treedef, fn) for c in node]
+        return type(node)(*mapped) if hasattr(node, "_fields") else tuple(mapped)
+    return node
+
+
+def pp_stack_state(state: TrainState, depth: int) -> TrainState:
+    """Canonical {block0..block{L-1}, ...} state -> stacked PP layout,
+    optax moments included (exact Adam-state resume across layouts)."""
+    tdef = jax.tree.structure(dict(state.params))
+    return TrainState(
+        step=state.step,
+        params=stack_ptv3_params(dict(state.params), depth),
+        batch_stats=state.batch_stats,
+        opt_state=_map_param_trees(
+            state.opt_state, tdef,
+            lambda t: stack_ptv3_params(dict(t), depth),
+        ),
+    )
+
+
+def pp_unstack_state(state: TrainState, depth: int) -> TrainState:
+    """Inverse of pp_stack_state: stacked PP layout -> canonical
+    single-device layout (checkpoint/consumer format)."""
+    tdef = jax.tree.structure(state.params)
+    return TrainState(
+        step=state.step,
+        params=unstack_ptv3_params(state.params, depth),
+        batch_stats=state.batch_stats,
+        opt_state=_map_param_trees(
+            state.opt_state, tdef,
+            lambda t: unstack_ptv3_params(t, depth),
+        ),
+    )
+
+
+def make_pp_eval_step(model, num_classes: int, mesh: Mesh, axis: str = "pp",
+                      num_microbatches: Optional[int] = None,
+                      dp_axis: Optional[str] = None):
+    """(cm, loss) eval step with the train loop's contract
+    (train/loop.py::make_eval_step) on stacked PP params: the pipelined
+    forward produces the full logits (psum-broadcast, replicated across
+    stages), then weighted CE + masked confusion matrix run on top.
+    jit-of-jit — the inner shard_mapped forward inlines."""
+    from .. import losses as L
+    from ..utils import metrics as M
+
+    fwd = make_pp_forward(model, mesh, axis, num_microbatches, dp_axis)
+
+    @jax.jit
+    def step(params, batch_stats, batch, class_weights):
+        labels = batch["labels"]
+        logits = fwd(params, batch_stats, batch["points"], batch["colors"])
+        loss = L.weighted_cross_entropy(logits, labels, class_weights)
+        preds = jnp.argmax(logits, axis=-1)
+        mask = jnp.broadcast_to(batch["mask"][:, None], labels.shape)
+        cm = M.masked_confusion_matrix(preds, labels, mask, num_classes)
+        return cm, loss
+
+    return step

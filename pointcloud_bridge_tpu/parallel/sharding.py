@@ -108,10 +108,24 @@ def make_tp_train_step(model, loss_cfg, optimizer, mesh: Mesh):
             {"loss": loss, "acc": acc},
         )
 
+    cache: Dict[str, Any] = {}
+
     def place(state: TrainState, batch: Dict[str, np.ndarray]):
-        sh = state_shardings(state, mesh)
-        state = jax.device_put(state, sh)
+        cache["sh"] = state_shardings(state, mesh)
+        state = jax.device_put(state, cache["sh"])
         batch = {k: jax.device_put(jnp.asarray(v), batch_sh) for k, v in batch.items()}
         return state, batch
 
-    return jax.jit(step, donate_argnums=(0,)), place
+    def stepper(state, batch, lr, class_weights, rng):
+        if "fn" not in cache:
+            # pin the output state to the TP shardings so updated
+            # params/moments never silently re-replicate between steps
+            sh = cache.get("sh") or state_shardings(state, mesh)
+            cache["fn"] = jax.jit(
+                step,
+                donate_argnums=(0,),
+                out_shardings=(sh, {"loss": repl, "acc": repl}),
+            )
+        return cache["fn"](state, batch, lr, class_weights, rng)
+
+    return stepper, place

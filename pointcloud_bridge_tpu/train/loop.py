@@ -393,7 +393,7 @@ def train(
     n_avail = len(jax.devices())
     use_mesh = (ndev_req == -1 and n_avail > 1) or ndev_req > 1
     par_mode = config.parallel.mode if use_mesh else "none"
-    if par_mode not in ("none", "dp", "sp"):
+    if par_mode not in ("none", "dp", "sp", "fsdp", "pp", "tp", "ep"):
         raise ValueError(f"unknown parallel.mode '{par_mode}'")
     spd = max(1, int(getattr(tcfg, "steps_per_dispatch", 1)))
     multi_step = None
@@ -408,12 +408,38 @@ def train(
         from ..parallel import make_mesh
 
         ndev = n_avail if ndev_req == -1 else min(ndev_req, n_avail)
-        mesh = make_mesh(ndev, config.parallel.data_axis)
-        if par_mode == "dp" and tcfg.batch_size % ndev:
+        if par_mode in ("tp", "ep"):
+            # 2-D (data, model/expert) meshes: the batch shards over data
+            from ..parallel import make_2d_mesh, make_ep_mesh
+
+            knob = "tp_axis_size" if par_mode == "tp" else "ep_axis_size"
+            ax2 = max(1, int(getattr(config.parallel, knob)))
+            if ndev % ax2:
+                raise ValueError(f"{knob} {ax2} must divide {ndev} devices")
+            dp_size = ndev // ax2
+            if tcfg.batch_size % dp_size:
+                raise ValueError(
+                    f"batch_size {tcfg.batch_size} must divide the data "
+                    f"axis ({dp_size} of the {dp_size}x{ax2} mesh)"
+                )
+            mk2 = make_2d_mesh if par_mode == "tp" else make_ep_mesh
+            mesh = mk2(dp_size, ax2)
+        else:
+            mesh = make_mesh(ndev, config.parallel.data_axis)
+        if par_mode in ("dp", "fsdp") and tcfg.batch_size % ndev:
             raise ValueError(
                 f"batch_size {tcfg.batch_size} must divide the mesh size {ndev}"
             )
-        mcfg.extra.setdefault("axis_name", config.parallel.data_axis)
+        if par_mode not in ("fsdp", "pp", "tp", "ep"):
+            # dp/sp run the model inside shard_map, so BN syncs via pmean
+            # over the named axis. fsdp is plain jit + GSPMD: the body is the
+            # logical single-device program, so BN's batch-axis mean is
+            # already GLOBAL (XLA inserts the collective for the sharded
+            # batch) and a named-axis pmean would hit an unbound axis; tp
+            # is GSPMD the same way. pp replicates the batch per stage
+            # (pp.py::_head owns the one BN on that path), so the canonical
+            # model needs no axis either.
+            mcfg.extra.setdefault("axis_name", config.parallel.data_axis)
 
     if model is None:
         model = get_model(mcfg.name, mcfg.num_classes, **mcfg.extra)
@@ -494,6 +520,12 @@ def train(
     class_weights = L.class_weights_from_counts(jnp.asarray(counts))
     logger.info(f"class weights: {np.asarray(class_weights)}")
 
+    # checkpoint-layout hooks: every mode checkpoints the CANONICAL
+    # single-device state layout so runs hand off freely between modes;
+    # pp overrides these (its live state is the stacked-blocks layout)
+    canon_state = lambda st: st  # noqa: E731
+    canon_params = lambda p: p  # noqa: E731
+
     if mesh is not None and par_mode == "sp":
         from ..parallel import make_sp_eval_step, make_sp_train_step, replicate
 
@@ -541,6 +573,244 @@ def train(
 
         if ema_params is not None:
             ema_params = replicate(ema_params, mesh)
+    elif mesh is not None and par_mode == "pp":
+        # Pipeline parallelism as an engine mode (parallel/pp.py): the ptv3
+        # family's homogeneous block stack is stage-sharded over the mesh
+        # (params + Adam moments), activations flow through a GPipe
+        # microbatch schedule, embed/head run replicated. Checkpoints are
+        # written in the CANONICAL layout (pp_unstack_state, moments
+        # included) so pp runs resume from / hand off to any other mode.
+        if getattr(tcfg, "accum_steps", 1) > 1:
+            raise ValueError(
+                "accum_steps is not supported with parallel.mode=pp"
+            )
+        if spd > 1:
+            raise ValueError(
+                "steps_per_dispatch is not supported with parallel.mode=pp"
+            )
+        from ..parallel import (
+            make_pp_eval_step,
+            make_pp_train_step,
+            pp_place_state,
+            pp_stack_state,
+            pp_unstack_state,
+            unstack_ptv3_params,
+        )
+
+        axis = config.parallel.data_axis
+        depth = getattr(model, "depth", 0)
+        if not depth:
+            raise ValueError(
+                "parallel.mode=pp requires a homogeneous block-stack model "
+                f"(the ptv3 family); '{mcfg.name}' has no depth"
+            )
+        n_stages = mesh.devices.size
+        mb = config.parallel.pp_microbatches or n_stages
+        if tcfg.batch_size % mb:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} must divide "
+                f"pp microbatch count {mb}"
+            )
+        state = pp_place_state(pp_stack_state(state, depth), mesh, axis)
+        class_weights = jnp.asarray(class_weights)
+        pp_step = make_pp_train_step(
+            model, config.loss, optimizer, mesh, state, axis=axis,
+            num_microbatches=mb, donate=tcfg.donate,
+        )
+
+        def train_step(st, batch, lr, cw, rng):
+            b = {k: batch[k] for k in ("points", "colors", "labels")}
+            return pp_step(st, b, lr, cw, rng)
+
+        eval_step = make_pp_eval_step(
+            model, mcfg.num_classes, mesh, axis, num_microbatches=mb
+        )
+        canon_state = lambda st: pp_unstack_state(st, depth)  # noqa: E731
+        canon_params = lambda p: unstack_ptv3_params(p, depth)  # noqa: E731
+        logger.info(
+            f"pipeline-parallel over {n_stages} stages "
+            f"({depth} blocks, {mb} microbatches/step)"
+        )
+
+        def put_batch(b):
+            return {k: jnp.asarray(v) for k, v in b.items()}
+
+        if ema_params is not None:
+            # the EMA tree tracks the LIVE (stacked) params; elementwise
+            # decay commutes with the layout change, and saves go through
+            # canon_params back to the canonical layout
+            ema_params = pp_place_state(
+                pp_stack_state(
+                    TrainState(step=state.step, params=ema_params,
+                               batch_stats={}, opt_state=()),
+                    depth,
+                ),
+                mesh, axis,
+            ).params
+            ema_update = jax.jit(
+                lambda e, p: jax.tree.map(
+                    lambda a, b: d * a + (1.0 - d) * b, e, p
+                ),
+                out_shardings=jax.tree.map(
+                    lambda x: x.sharding, ema_params
+                ),
+            )
+    elif mesh is not None and par_mode == "fsdp":
+        # ZeRO-3 as an engine mode (parallel/fsdp.py): every param leaf and
+        # its optax moments shard their largest mesh-divisible axis over the
+        # data axis, the batch shards over the same axis, and the step body
+        # stays the logical single-device program — GSPMD places the
+        # all-gather-on-consume / reduce-scatter-on-grads pattern over ICI.
+        # Eval reuses the plain jitted step: with committed FSDP/batch input
+        # shardings the partitioner partitions it the same way.
+        if getattr(tcfg, "accum_steps", 1) > 1:
+            raise ValueError(
+                "accum_steps is not supported with parallel.mode=fsdp"
+            )
+        if spd > 1:
+            raise ValueError(
+                "steps_per_dispatch is not supported with parallel.mode=fsdp"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel import fsdp_state_shardings, make_fsdp_train_step
+
+        axis = config.parallel.data_axis
+        train_step, fsdp_place = make_fsdp_train_step(
+            model, config.loss, optimizer, mesh, axis=axis
+        )
+        state, _ = fsdp_place(state, sample)
+        sh_tree = fsdp_state_shardings(state, mesh, axis=axis)
+        class_weights = jax.device_put(
+            class_weights, NamedSharding(mesh, PartitionSpec())
+        )
+        eval_step = make_eval_step(model, mcfg.num_classes)
+        batch_sh = NamedSharding(mesh, PartitionSpec(axis))
+        logger.info(
+            f"fsdp/ZeRO-3 over {mesh.devices.size} devices "
+            f"(params + optimizer moments sharded over '{axis}')"
+        )
+
+        def put_batch(b):
+            return {
+                k: jax.device_put(jnp.asarray(v), batch_sh)
+                for k, v in b.items()
+            }
+
+        if ema_params is not None:
+            # the EMA tree mirrors the params: pin it (and every update's
+            # output) to the same FSDP shardings so the decayed copy never
+            # silently re-replicates between steps
+            ema_params = jax.device_put(ema_params, sh_tree.params)
+            ema_update = jax.jit(
+                lambda e, p: jax.tree.map(
+                    lambda a, b: d * a + (1.0 - d) * b, e, p
+                ),
+                out_shardings=sh_tree.params,
+            )
+    elif mesh is not None and par_mode == "ep":
+        # Expert parallelism as an engine mode (parallel/ep.py): a
+        # ("data", "expert") mesh — the MoE family's experts_* param leaves
+        # (and their optax moments) shard the leading expert axis, batch
+        # shards over data; loss = task + ep_aux_coef * router load-balance
+        # aux. GSPMD logical single-device program (no named axis).
+        if getattr(tcfg, "accum_steps", 1) > 1:
+            raise ValueError(
+                "accum_steps is not supported with parallel.mode=ep"
+            )
+        if spd > 1:
+            raise ValueError(
+                "steps_per_dispatch is not supported with parallel.mode=ep"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel import ep_state_shardings, make_ep_train_step
+
+        if not any(
+            "experts_" in jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(state.params)[0]
+        ):
+            raise ValueError(
+                "parallel.mode=ep requires a mixture-of-experts model "
+                f"(experts_* param leaves); '{mcfg.name}' has none — "
+                "use ptv3_moe (model.extra num_experts>0)"
+            )
+        train_step, ep_place = make_ep_train_step(
+            model, config.loss, optimizer, mesh,
+            aux_coef=float(config.parallel.ep_aux_coef),
+        )
+        state, _ = ep_place(state, sample)
+        class_weights = jax.device_put(
+            class_weights, NamedSharding(mesh, PartitionSpec())
+        )
+        eval_step = make_eval_step(model, mcfg.num_classes)
+        batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+        logger.info(
+            f"expert-parallel over a {mesh.shape['data']}x"
+            f"{mesh.shape['expert']} (data, expert) mesh"
+        )
+
+        def put_batch(b):
+            return {
+                k: jax.device_put(jnp.asarray(v), batch_sh)
+                for k, v in b.items()
+            }
+
+        if ema_params is not None:
+            sh_p = ep_state_shardings(state, mesh).params
+            ema_params = jax.device_put(ema_params, sh_p)
+            ema_update = jax.jit(
+                lambda e, p: jax.tree.map(
+                    lambda a, b: d * a + (1.0 - d) * b, e, p
+                ),
+                out_shardings=sh_p,
+            )
+    elif mesh is not None and par_mode == "tp":
+        # Tensor parallelism as an engine mode (parallel/sharding.py): a
+        # ("data", "model") mesh — batch sharded over data, the large Dense
+        # kernels column-sharded over model, step body the logical
+        # single-device program with GSPMD placing the collectives. BN
+        # stats are globally correct by construction (no named axis).
+        if getattr(tcfg, "accum_steps", 1) > 1:
+            raise ValueError(
+                "accum_steps is not supported with parallel.mode=tp"
+            )
+        if spd > 1:
+            raise ValueError(
+                "steps_per_dispatch is not supported with parallel.mode=tp"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel import make_tp_train_step, param_shardings
+
+        train_step, tp_place = make_tp_train_step(
+            model, config.loss, optimizer, mesh
+        )
+        state, _ = tp_place(state, sample)
+        class_weights = jax.device_put(
+            class_weights, NamedSharding(mesh, PartitionSpec())
+        )
+        eval_step = make_eval_step(model, mcfg.num_classes)
+        batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+        logger.info(
+            f"tensor-parallel over a {mesh.shape['data']}x"
+            f"{mesh.shape['model']} (data, model) mesh"
+        )
+
+        def put_batch(b):
+            return {
+                k: jax.device_put(jnp.asarray(v), batch_sh)
+                for k, v in b.items()
+            }
+
+        if ema_params is not None:
+            # pin the EMA tree (and every update's output) to the TP param
+            # shardings so the decayed copy never silently re-replicates
+            sh_p = param_shardings(state.params, mesh)
+            ema_params = jax.device_put(ema_params, sh_p)
+            ema_update = jax.jit(
+                lambda e, p: jax.tree.map(
+                    lambda a, b: d * a + (1.0 - d) * b, e, p
+                ),
+                out_shardings=sh_p,
+            )
     elif mesh is not None:
         from ..parallel import (
             make_dp_eval_step,
@@ -728,29 +998,32 @@ def train(
                 lr = plateau.step(val_acc)
             if val_acc > best_val_acc:
                 best_val_acc = val_acc
+                ckpt_st = canon_state(state)
                 save_checkpoint(
                     os.path.join(exp_dir, "best_model"),
                     {
-                        "params": eval_params,
-                        "batch_stats": state.batch_stats,
-                        "opt_state": state.opt_state,
+                        "params": canon_params(eval_params),
+                        "batch_stats": ckpt_st.batch_stats,
+                        "opt_state": ckpt_st.opt_state,
                         "epoch": epoch,
                         "val_acc": float(val_acc),
                     },
                 )
 
+        ckpt_st = canon_state(state)
         save_checkpoint(
             os.path.join(exp_dir, "latest_checkpoint"),
             {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
+                "params": ckpt_st.params,
+                "batch_stats": ckpt_st.batch_stats,
+                "opt_state": ckpt_st.opt_state,
                 "epoch": epoch,
             },
         )
         if ema_params is not None:  # raw (above) + EMA: exact resume
             save_checkpoint(
-                os.path.join(exp_dir, "latest_ema"), {"params": ema_params}
+                os.path.join(exp_dir, "latest_ema"),
+                {"params": canon_params(ema_params)},
             )
         history.append(row)
         writer.write(epoch, {k: v for k, v in row.items() if k != "epoch"})
@@ -764,9 +1037,11 @@ def train(
     writer.close()
     return {
         "history": history,
+        # canonical layout for consumers (identity except pp, whose live
+        # state is the stacked-blocks layout)
+        "state": canon_state(state),
         "best_val_acc": best_val_acc,
         "exp_dir": exp_dir,
-        "state": state,
         "model": model,
         "class_weights": class_weights,
     }

@@ -306,3 +306,62 @@ def test_ep_sharded_checkpoint_roundtrip(tmp_path):
     state2, m2 = step2(state2, b2_, jnp.float32(1e-3),
                        jnp.ones(5, jnp.float32), key)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_train_engine_ep(tmp_path):
+    """train() with parallel.mode='ep' runs expert parallelism end-to-end on
+    a (4, 2) (data, expert) mesh (round 4): experts_* leaves sharded through
+    epochs + validation + checkpointing, aux load-balance loss in the
+    objective, and the returned state's expert leaves still sharded."""
+    import numpy as np
+
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(10000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict(
+        {"model": "ptv3_moe", "num_classes": 5, "batch_size": 8,
+         "num_epochs": 2}
+    )
+    cfg.model.extra = dict(embed_dim=32, depth=2, num_heads=2, num_experts=4)
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "ep"
+    cfg.parallel.ep_axis_size = 2
+    out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train_loss"])
+    assert out["best_val_acc"] > 0
+    flat = jax.tree_util.tree_flatten_with_path(out["state"].params)[0]
+    expert_sharded = [
+        x for p, x in flat
+        if "experts_" in jax.tree_util.keystr(p)
+        and hasattr(x, "sharding") and not x.sharding.is_fully_replicated
+    ]
+    assert len(expert_sharded) >= 4, "engine state lost its expert shardings"
+
+
+def test_train_engine_ep_rejects_dense_model(tmp_path):
+    import pytest as _pytest
+
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(4000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict(
+        {"num_classes": 5, "batch_size": 8, "num_epochs": 1}
+    )
+    cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "ep"
+    with _pytest.raises(ValueError):
+        train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))

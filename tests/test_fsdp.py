@@ -130,3 +130,58 @@ def test_fsdp_state_stays_sharded_across_steps():
     for x, sh in zip(jax.tree.leaves(state.params),
                      jax.tree.leaves(want.params)):
         assert x.sharding.is_equivalent_to(sh, x.ndim), (x.shape, x.sharding)
+
+
+def test_train_engine_fsdp(tmp_path):
+    """train() with parallel.mode='fsdp' runs ZeRO-3 end-to-end on the 8-way
+    mesh (round 4): sharded params/moments through epochs + validation +
+    checkpointing, EMA tree pinned to the FSDP shardings, and the returned
+    state's big leaves still 1/8-sharded (no silent re-replication)."""
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(10000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict({"num_classes": 5, "batch_size": 8, "num_epochs": 2})
+    cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "fsdp"
+    cfg.train.ema_decay = 0.9
+    out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train_loss"])
+    assert out["history"][-1]["train_loss"] < out["history"][0]["train_loss"]
+    assert out["best_val_acc"] > 0
+    sharded = [
+        x for x in jax.tree.leaves(out["state"].params)
+        if hasattr(x, "sharding") and not x.sharding.is_fully_replicated
+    ]
+    assert len(sharded) >= 5, "engine state lost its FSDP shardings"
+    for x in sharded:
+        assert x.addressable_shards[0].data.size * 8 == x.size
+
+
+def test_train_engine_fsdp_rejects_accum_and_multistep(tmp_path):
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+    import pytest
+
+    xyz, rgb, labels = toy_bridge_scene(4000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    for knob in ({"accum_steps": 2}, {"steps_per_dispatch": 2}):
+        cfg = Config.from_dict(
+            {"num_classes": 5, "batch_size": 8, "num_epochs": 1}
+        )
+        cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+        cfg.parallel.num_devices = -1
+        cfg.parallel.mode = "fsdp"
+        for k, v in knob.items():
+            setattr(cfg.train, k, v)
+        with pytest.raises(ValueError):
+            train(cfg, ds, ds, exp_dir=str(tmp_path / f"exp_{list(knob)[0]}"))

@@ -206,6 +206,36 @@ def test_tp_2d_mesh_matches_single_device_step():
     assert cos > 0.95, cos
 
 
+def test_train_engine_tp(tmp_path):
+    """train() with parallel.mode='tp' runs GSPMD tensor parallelism
+    end-to-end on a (4, 2) mesh (round 4): column-sharded Dense kernels
+    through epochs + validation + checkpointing, and the returned state's
+    big kernels still sharded over 'model' (no silent re-replication)."""
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(10000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict({"num_classes": 5, "batch_size": 8, "num_epochs": 2})
+    cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "tp"
+    cfg.parallel.tp_axis_size = 2
+    out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train_loss"])
+    assert out["history"][-1]["train_loss"] < out["history"][0]["train_loss"]
+    assert out["best_val_acc"] > 0
+    sharded = [
+        x for x in jax.tree.leaves(out["state"].params)
+        if hasattr(x, "sharding") and "model" in str(getattr(x.sharding, "spec", ""))
+    ]
+    assert len(sharded) >= 5, "engine state lost its TP shardings"
+
+
 # ---------------------------------------------------------------------------
 # sequence parallelism (SP): ring attention + PTv3 over a sharded point axis
 # ---------------------------------------------------------------------------

@@ -293,3 +293,96 @@ def test_dp_pp_rejects_nondecomposable_loss(rng):
         make_pp_train_step(
             model, cfg.loss, optax.identity(), mesh, pp_state, dp_axis="data"
         )
+
+
+def test_pp_state_layout_roundtrip_with_moments(rng):
+    """pp_stack_state/pp_unstack_state convert the WHOLE train state —
+    params AND the optax Adam moments (mu/nu mirror the params tree) —
+    between the canonical and stacked layouts losslessly."""
+    from pointcloud_bridge_tpu.parallel import pp_stack_state, pp_unstack_state
+
+    model = get_model("ptv3", **KW)
+    batch = _batch(rng)
+    opt = make_optimizer(1e-4)
+    st = create_train_state(model, jax.random.PRNGKey(0), batch, opt)
+    # make the moments non-trivial so the roundtrip can't pass on zeros
+    st = st.replace(
+        opt_state=jax.tree.map(
+            lambda x: x + 1.0 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            st.opt_state,
+        )
+    )
+    rt = pp_unstack_state(pp_stack_state(st, model.depth), model.depth)
+    ref = jax.tree_util.tree_flatten_with_path(st)[0]
+    got = jax.tree_util.tree_flatten_with_path(rt)[0]
+    assert len(ref) == len(got)
+    for (pa, a), (pb, b) in zip(ref, got):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_engine_pp(tmp_path):
+    """train() with parallel.mode='pp' runs GPipe end-to-end on the 8-way
+    mesh (round 4): stage-sharded blocks through epochs + validation + EMA +
+    checkpointing, with checkpoints (and the returned state) in the
+    CANONICAL single-device layout — best_model loads straight into the
+    plain model."""
+    import os
+
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+    from pointcloud_bridge_tpu.utils.checkpoint import restore_checkpoint
+
+    xyz, rgb, labels = toy_bridge_scene(10000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict(
+        {"model": "ptv3", "num_classes": 5, "batch_size": 8, "num_epochs": 2}
+    )
+    cfg.model.extra = dict(embed_dim=32, depth=8, num_heads=2)
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "pp"
+    cfg.train.ema_decay = 0.9
+    out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
+    assert len(out["history"]) == 2
+    assert np.isfinite(out["history"][-1]["train_loss"])
+    assert out["best_val_acc"] > 0
+
+    # canonical layout: block0..block7 present, no 'blocks' stack
+    assert "block0" in out["state"].params and "blocks" not in out["state"].params
+
+    model = get_model("ptv3", num_classes=5, **cfg.model.extra)
+    restored = restore_checkpoint(
+        os.path.join(out["exp_dir"], "best_model"),
+        {"params": out["state"].params,
+         "batch_stats": out["state"].batch_stats},
+    )
+    batch = next(iter(ds.batches(2, shuffle=False)))
+    logits = model.apply(
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+        jnp.asarray(batch["points"]), jnp.asarray(batch["colors"]),
+        train=False,
+    )
+    assert logits.shape == (2, 128, 5)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_train_engine_pp_rejects_non_blockstack_model(tmp_path):
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(4000, seed=0)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict(
+        {"num_classes": 5, "batch_size": 8, "num_epochs": 1}
+    )
+    cfg.model.extra = {"sa_npoints": (32, 16, 8)}
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "pp"
+    with pytest.raises(ValueError):
+        train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
