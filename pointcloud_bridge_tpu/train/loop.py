@@ -476,22 +476,41 @@ def train(
         if not os.path.exists(ckpt_path):
             ckpt_path = os.path.join(exp_dir, "best_model")
         if os.path.exists(ckpt_path):
-            restored = restore_checkpoint(
-                ckpt_path,
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                },
-            )
+            try:
+                restored = restore_checkpoint(
+                    ckpt_path,
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                    },
+                )
+                opt_state = restored["opt_state"]
+                start_epoch = int(restored.get("epoch", 0)) + 1
+                logger.info(f"resumed from {ckpt_path} at epoch {start_epoch}")
+            except (KeyError, ValueError):
+                # params-only checkpoint (tools/import_ckpt torch migration,
+                # or a deployed best_model from another run): warm-start the
+                # weights with a FRESH optimizer and epoch schedule — the
+                # reference's best_model.pth warm-start semantics (Partsize
+                # train.py:86-94 loads model_state_dict only). KeyError is
+                # the orbax path (stored tree lacks 'opt_state'), ValueError
+                # the msgpack-fallback path (from_bytes key mismatch).
+                restored = restore_checkpoint(
+                    ckpt_path,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                )
+                opt_state = state.opt_state
+                logger.info(
+                    f"warm start from {ckpt_path} "
+                    "(params/batch_stats only; fresh optimizer state)"
+                )
             state = TrainState(
                 step=state.step,
                 params=restored["params"],
                 batch_stats=restored["batch_stats"],
-                opt_state=restored["opt_state"],
+                opt_state=opt_state,
             )
-            start_epoch = int(restored.get("epoch", 0)) + 1
-            logger.info(f"resumed from {ckpt_path} at epoch {start_epoch}")
 
     ema_params = None
     if getattr(tcfg, "ema_decay", 0.0) > 0.0:

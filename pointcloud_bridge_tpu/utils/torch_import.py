@@ -481,19 +481,35 @@ def validate_variables(converted: Dict[str, Any], reference_vars: Dict[str, Any]
                 raise ValueError(f"{col} shape mismatch at {p}: {got[p]} vs {shp}")
 
 
+def load_raw_state_dict(path: str):
+    """Load a torch .pth from the reference training pipeline, returning
+    (state_dict-as-numpy, scalar metadata). Accepts raw state_dicts and the
+    reference's wrapped saves ({'model_state_dict': ..., 'epoch': ...,
+    'class_avg_iou': ...} — train_MulSca_PN2.py:290-313); the wrapper's
+    int/float/str entries (epoch, best metric) come back as metadata so an
+    import can preserve the checkpoint's provenance."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    meta: Dict[str, Any] = {}
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                meta = {
+                    k: v for k, v in obj.items()
+                    if isinstance(v, (int, float, str))
+                }
+                obj = obj[key]
+                break
+    sd = {k: _np(v) for k, v in obj.items() if hasattr(v, "shape")}
+    return sd, meta
+
+
 def load_torch_checkpoint(
     model_name: str, path: str, strict: bool = True
 ) -> Dict[str, Any]:
     """Load a torch .pth checkpoint from the reference training pipeline and
     convert it. Accepts raw state_dicts and the reference's wrapped formats
     ({'model_state_dict': ...} — train_MulSca_PN2.py checkpoint saves)."""
-    import torch
-
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict):
-        for key in ("model_state_dict", "state_dict", "model"):
-            if key in obj and isinstance(obj[key], dict):
-                obj = obj[key]
-                break
-    sd = {k: _np(v) for k, v in obj.items() if hasattr(v, "shape")}
+    sd, _ = load_raw_state_dict(path)
     return convert_state_dict(model_name, sd, strict=strict)
