@@ -66,14 +66,16 @@ def main(argv=None) -> None:
 
     if not args.no_validate:
         import jax
-        import jax.numpy as jnp
 
         from ..models import get_model
         from ..utils.torch_import import validate_variables
 
         model = get_model(args.model, num_classes=args.num_classes)
-        xyz0 = jnp.zeros((1, args.num_points, 3))
-        feats0 = jnp.zeros((1, args.num_points, args.feature_dim))
+        # numpy templates keep this offline CLI entirely CPU-side: jnp.zeros
+        # outside the default_device block would dispatch to the remote relay
+        # (~50 ms round trips; fails outright with no TPU reachable)
+        xyz0 = np.zeros((1, args.num_points, 3), np.float32)
+        feats0 = np.zeros((1, args.num_points, args.feature_dim), np.float32)
         with jax.default_device(jax.devices("cpu")[0]):
             template = model.init(
                 jax.random.PRNGKey(0), xyz0, feats0, train=False

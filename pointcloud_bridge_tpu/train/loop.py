@@ -27,7 +27,11 @@ from .. import losses as L
 from ..config import Config
 from ..models import get_model
 from ..utils import metrics as M
-from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+from ..utils.checkpoint import (
+    checkpoint_keys,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from ..utils.logging import ScalarWriter, initialize_logger, snapshot_code
 from .schedules import ReduceLROnPlateau, cosine_lr, step_decay_lr
 
@@ -476,7 +480,15 @@ def train(
         if not os.path.exists(ckpt_path):
             ckpt_path = os.path.join(exp_dir, "best_model")
         if os.path.exists(ckpt_path):
-            try:
+            # Positively detect params-only checkpoints (tools/import_ckpt
+            # torch migrations, deployed best_model trees) by inspecting the
+            # stored top-level keys — NOT by catching restore exceptions,
+            # which would silently convert a genuine resume failure (e.g. an
+            # opt_state structure mismatch after an optimizer change) into a
+            # fresh-optimizer warm start (ADVICE r4). A real mismatch now
+            # fails loudly.
+            stored = checkpoint_keys(ckpt_path)
+            if "opt_state" in stored:
                 restored = restore_checkpoint(
                     ckpt_path,
                     {
@@ -488,14 +500,15 @@ def train(
                 opt_state = restored["opt_state"]
                 start_epoch = int(restored.get("epoch", 0)) + 1
                 logger.info(f"resumed from {ckpt_path} at epoch {start_epoch}")
-            except (KeyError, ValueError):
-                # params-only checkpoint (tools/import_ckpt torch migration,
-                # or a deployed best_model from another run): warm-start the
-                # weights with a FRESH optimizer and epoch schedule — the
-                # reference's best_model.pth warm-start semantics (Partsize
-                # train.py:86-94 loads model_state_dict only). KeyError is
-                # the orbax path (stored tree lacks 'opt_state'), ValueError
-                # the msgpack-fallback path (from_bytes key mismatch).
+            else:
+                # weights-only warm start, as the reference's best_model.pth
+                # path loads model_state_dict only (Partsize train.py:86-94).
+                # Design delta (PARITY §2.5): the reference ALSO restores
+                # start_epoch on that path; we intentionally restart the
+                # epoch/LR schedule at 1 for migrated weights — a migrated
+                # torch checkpoint's epoch count has no meaning for a fresh
+                # optimizer + schedule here (locked in by
+                # tests/test_tools.py warm-start epoch assertion).
                 restored = restore_checkpoint(
                     ckpt_path,
                     {"params": state.params, "batch_stats": state.batch_stats},
@@ -605,7 +618,8 @@ def train(
             )
         if spd > 1:
             raise ValueError(
-                "steps_per_dispatch is not supported with parallel.mode=pp"
+                "steps_per_dispatch is not supported with parallel.mode=pp "
+                "(intentional — see PARITY.md §2.5 multi-step decision)"
             )
         from ..parallel import (
             make_pp_eval_step,
@@ -688,7 +702,8 @@ def train(
             )
         if spd > 1:
             raise ValueError(
-                "steps_per_dispatch is not supported with parallel.mode=fsdp"
+                "steps_per_dispatch is not supported with parallel.mode=fsdp "
+                "(intentional — see PARITY.md §2.5 multi-step decision)"
             )
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel import fsdp_state_shardings, make_fsdp_train_step
@@ -738,7 +753,8 @@ def train(
             )
         if spd > 1:
             raise ValueError(
-                "steps_per_dispatch is not supported with parallel.mode=ep"
+                "steps_per_dispatch is not supported with parallel.mode=ep "
+                "(intentional — see PARITY.md §2.5 multi-step decision)"
             )
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel import ep_state_shardings, make_ep_train_step
@@ -794,7 +810,8 @@ def train(
             )
         if spd > 1:
             raise ValueError(
-                "steps_per_dispatch is not supported with parallel.mode=tp"
+                "steps_per_dispatch is not supported with parallel.mode=tp "
+                "(intentional — see PARITY.md §2.5 multi-step decision)"
             )
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel import make_tp_train_step, param_shardings

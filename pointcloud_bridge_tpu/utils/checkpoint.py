@@ -46,6 +46,27 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
         json.dump(meta, f)
 
 
+def checkpoint_keys(path: str) -> set:
+    """Top-level keys stored in a checkpoint's TREE (meta.json scalars like
+    'epoch' are not included). Used to positively detect params-only
+    checkpoints (tools/import_ckpt migrations, deployed best_model trees)
+    before choosing a restore target — resuming must never silently fall back
+    to a warm start on a genuine restore failure (ADVICE r4)."""
+    path = os.path.abspath(path)
+    msgpack = os.path.join(path, "state.msgpack")
+    if os.path.exists(msgpack):
+        from flax import serialization
+
+        with open(msgpack, "rb") as f:
+            return set(serialization.msgpack_restore(f.read()).keys())
+    ocp = _orbax()
+    try:
+        # metadata() reads the tree structure without loading arrays
+        return set(ocp.StandardCheckpointer().metadata(path).keys())
+    except Exception:
+        return set(ocp.StandardCheckpointer().restore(path).keys())
+
+
 def restore_checkpoint(
     path: str, target: Optional[Dict[str, Any]] = None
 ) -> Dict[str, Any]:
