@@ -2,11 +2,13 @@
 
 Measures segmentation inference throughput (points/sec) on standard
 B=4 x N=4096 blocks — the harness shape of the reference's eva_model.py
-(SURVEY.md §3.5) — and prints ONE JSON line (pointnet2_ssg, the reference's
-benchmark flagship). The secondary bristrunet metric (VERDICT round-2 #8,
-covering the non-SSG kernel stack: BSE attention, gather3, EnhancedFP) lives
-in bench_secondary.py — a second in-driver compile pushed past the driver
-window — and is run per-round with results committed to benchmark_results/.
+(SURVEY.md §3.5). Emits THREE metric lines — pointnet2_ssg (the reference's
+benchmark flagship; also re-emitted last, as the driver parses the final JSON
+line), pointnet2_msg (the north-star >= 20x target), and bristrunet (the
+paper flagship's non-SSG kernel stack: BSE attention, gather3, EnhancedFP;
+driver-grade since round 5, VERDICT r4 #4). bench_secondary.py remains the
+per-round local runner that appends bristrunet history to
+benchmark_results/bench_secondary.jsonl.
 
 Baseline: the reference PointNet2 (SSG) at 35,557 points/sec on its GPU
 (Highway_bridge/model_performance_comparison.csv:4, BASELINE.md); BriStruNet
@@ -80,29 +82,31 @@ def bench_model(
         best = min(best, (tk - t1) / (k_iters - 1))
 
     pts_per_sec = b * n / best
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(pts_per_sec, 1),
-                "unit": "points/sec",
-                "vs_baseline": round(pts_per_sec / baseline, 3),
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": metric,
+            "value": round(pts_per_sec, 1),
+            "unit": "points/sec",
+            "vs_baseline": round(pts_per_sec / baseline, 3),
+        }
     )
+    print(line, flush=True)
+    return line
 
 
 def main() -> None:
     # The driver parses the LAST JSON line (SSG — series continuity with
-    # BENCH_r01-r03) but records the full tail, so the north-star MSG metric
-    # (BASELINE.md: "PointNet++-MSG inference >= 20x" vs PointNet2's 35,557
-    # GPU pts/s) is emitted first with driver-grade evidence (VERDICT r3 #2).
-    # Runtime is bounded by a shorter chain for MSG (its per-iteration cost
-    # is ~2x SSG); if the MSG compile ever pushes past the driver window the
-    # SSG line still prints because MSG runs inside its own try.
-    # The further secondary metric (bristrunet) lives in bench_secondary.py,
-    # run per-round with results committed to benchmark_results/.
+    # BENCH_r01-r04) but records the full tail. Three metrics are emitted
+    # (VERDICT r4 #4 added driver-grade bristrunet): the primary SSG is
+    # measured and printed FIRST so a driver-window kill during the extra
+    # metrics can never lose it, the north-star MSG (BASELINE.md: ">= 20x"
+    # vs PointNet2's 35,557 GPU pts/s) and the flagship bristrunet (43,465
+    # pts/s baseline row) follow inside their own trys, and the SSG line is
+    # re-emitted LAST (same measured value) so the driver's last-line parse
+    # stays on the SSG series whatever happens in between.
+    ssg_line = bench_model(
+        "pointnet2_ssg", "pointnet2_ssg_inference_points_per_sec", 35_557.0
+    )
     try:
         bench_model(
             "pointnet2_msg", "pointnet2_msg_inference_points_per_sec",
@@ -110,9 +114,14 @@ def main() -> None:
         )
     except Exception:
         pass  # never block the primary series metric
-    bench_model(
-        "pointnet2_ssg", "pointnet2_ssg_inference_points_per_sec", 35_557.0
-    )
+    try:
+        bench_model(
+            "bristrunet", "bristrunet_inference_points_per_sec", 43_465.0,
+            k_iters=8,
+        )
+    except Exception:
+        pass
+    print(ssg_line, flush=True)
 
 
 if __name__ == "__main__":

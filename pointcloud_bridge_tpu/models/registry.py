@@ -13,6 +13,7 @@ from .pointnet import PointNetSeg, PointNetGlobalSeg, PointNetSemSegPartsize
 from .dgcnn import DGCNN, DGCNNGlobal
 from .randlanet import RandLANet, RandLANetSS
 from .ptv3 import PointTransformerV3
+from .ptv3_pooled import PointTransformerV3Pooled
 from .bristrunet import BriStruNet
 from .spg import SuperpointGraph
 from .spt import SPTSegmenter
@@ -51,6 +52,9 @@ MODEL_REGISTRY: Dict[str, Callable[..., nn.Module]] = {
     # beyond reference: MoE-FFN PTv3 (models/moe.py) — the expert-parallel
     # scaling target (parallel/ep.py); every other block routes to 8 experts
     "ptv3_moe": partial(PointTransformerV3, num_experts=8),
+    # beyond reference: true-PTv3 hierarchical U-Net (serialized grid
+    # pooling/unpooling + windowed attention per level, models/ptv3_pooled.py)
+    "ptv3_pooled": PointTransformerV3Pooled,
     "enhanced_pointnet2_ssg": EnhancedPointNet2SSG,  # older SSG+EPE variant
 }
 

@@ -31,8 +31,19 @@ import pytest
 
 
 def pytest_configure(config):
+    # Tiering (VERDICT r4 #3): the full suite is ~55 min on this 1-core box.
+    # Smoke tier (documented in CLAUDE.md): pytest -m "not slow" — target
+    # ~10 min. Category markers select subsystems: -m mesh (8-device
+    # shard_map parallelism), -m torchref (suites that execute torch
+    # reference models for parity).
     config.addinivalue_line(
-        "markers", "slow: multi-epoch end-to-end runs (minutes on CPU)"
+        "markers", "slow: minutes-scale on this box (excluded from smoke tier)"
+    )
+    config.addinivalue_line(
+        "markers", "mesh: exercises the 8-device virtual mesh (shard_map/pjit)"
+    )
+    config.addinivalue_line(
+        "markers", "torchref: executes torch reference models for parity"
     )
 
 

@@ -16,6 +16,9 @@ from pointcloud_bridge_tpu.models.moe import MoEFeedForward
 from pointcloud_bridge_tpu.parallel import make_ep_mesh, make_ep_train_step
 from pointcloud_bridge_tpu.train.loop import create_train_state, make_optimizer
 
+pytestmark = pytest.mark.mesh
+
+
 
 def _moe_oracle(params, x, top_k):
     """Per-token loop: y_t = sum_k gate_k * GEGLU-FFN_{e_k}(x_t)."""

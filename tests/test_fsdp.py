@@ -15,10 +15,15 @@ from pointcloud_bridge_tpu.parallel import (
     make_fsdp_train_step,
 )
 from pointcloud_bridge_tpu.train.loop import (
+
     create_train_state,
     make_optimizer,
     make_train_step,
 )
+
+import pytest
+
+pytestmark = pytest.mark.mesh
 
 
 def _batch(b=8, n=256, seed=0):

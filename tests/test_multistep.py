@@ -13,11 +13,14 @@ import pytest
 from pointcloud_bridge_tpu.config import Config
 from pointcloud_bridge_tpu.models import get_model
 from pointcloud_bridge_tpu.train.loop import (
+
     create_train_state,
     group_batches,
     make_multi_train_step,
     make_train_step,
 )
+
+pytestmark = pytest.mark.mesh
 
 
 def _batch(b, n=128, seed=0):

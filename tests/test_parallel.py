@@ -16,10 +16,13 @@ from pointcloud_bridge_tpu.parallel import (
     make_dp_eval_step,
 )
 from pointcloud_bridge_tpu.train.loop import (
+
     create_train_state,
     make_optimizer,
     make_train_step,
 )
+
+pytestmark = pytest.mark.mesh
 
 
 def _batch(b=8, n=128, seed=0):

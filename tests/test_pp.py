@@ -21,6 +21,9 @@ from pointcloud_bridge_tpu.parallel import (
 from pointcloud_bridge_tpu.train.loop import create_train_state, make_optimizer
 from pointcloud_bridge_tpu.config import Config
 
+pytestmark = pytest.mark.mesh
+
+
 
 KW = dict(
     num_classes=5, embed_dim=32, depth=4, num_heads=2,

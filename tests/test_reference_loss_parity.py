@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.torchref
+
 HW = "/root/reference/Highway_bridge"
 
 

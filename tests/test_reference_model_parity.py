@@ -24,6 +24,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.torchref
+
 REF_MODELS = "/root/reference/Highway_bridge/models"
 
 

@@ -12,6 +12,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.torchref
+
 REF_DIR = "/root/reference/Partsize-identical"
 
 
