@@ -65,6 +65,12 @@ DEFAULT_ZOO: Dict[str, Dict[str, Any]] = {
                       "stream_dtype": "bfloat16",
                       "_note": "fastest PTv3 serving config (round 3): "
                                "Morton-windowed w=512 + bf16 stream"},
+    "ptv3_pooled": {"dims": (64, 128, 256), "enc_depths": (2, 2, 6),
+                    "dec_depths": (1, 1), "strides": (4, 4),
+                    "window_size": 1024,
+                    "_note": "true-PTv3 hierarchical U-Net (round 5): "
+                             "serialized grid pooling, depth at the coarse "
+                             "levels (train_ptv3_pooled.yaml config)"},
     "bristrunet": {},
 }
 
