@@ -9,6 +9,11 @@ which is authoritative for default-backend selection.
 
 import os
 
+# Dryrun runs under pytest (tests/test_graft_entry.py) must not overwrite the
+# committed solo-measured per-mode wall artifact with contended/tiny-mesh
+# numbers (the bootstrap subprocess inherits this env).
+os.environ.setdefault("PCB_DRYRUN_WALLS", "0")
+
 if os.environ.get("PCB_TEST_BACKEND", "cpu") == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     _flags = os.environ.get("XLA_FLAGS", "")

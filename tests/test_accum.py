@@ -2,6 +2,7 @@
 the mean of per-microbatch grads, BN running stats chain sequentially, one
 optimizer update per step."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def _model(dropout=0.5):
     )
 
 
+@pytest.mark.slow
 def test_accum_matches_manual_oracle():
     """accum=2 == manual: per-microbatch grads with chained batch_stats,
     averaged, one update. Tolerances admit XLA fusion reassociation (the
@@ -99,6 +101,7 @@ def test_accum_matches_manual_oracle():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_accum_duplicated_batch_equals_full_step():
     """With the batch's two halves identical and dropout off, BN batch
     moments over 2B duplicated rows equal those over B rows, so the accum
@@ -131,6 +134,7 @@ def test_accum_duplicated_batch_equals_full_step():
                                    rtol=1e-2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_accum_learns():
     """5 Adam accum steps decrease the loss."""
     model = _model()

@@ -123,6 +123,7 @@ def test_density_weighted_sampling(rng):
     assert len(set(idx[0].tolist())) == 100  # no replacement
 
 
+@pytest.mark.slow
 def test_train_resume(tmp_path):
     from pointcloud_bridge_tpu.config import Config
     from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
@@ -155,6 +156,7 @@ def test_plain_random_blocks():
     assert blocks[0].points.shape == (256, 3)
 
 
+@pytest.mark.slow
 def test_debug_module_smoke():
     from pointcloud_bridge_tpu.tools.debug_module import smoke_test
 
@@ -212,6 +214,7 @@ def test_classification_report(rng):
     assert "precision" in rep and "a" in rep
 
 
+@pytest.mark.slow
 def test_bristrunet_29ch_variant():
     from pointcloud_bridge_tpu.models import get_model
 

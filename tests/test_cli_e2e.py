@@ -57,6 +57,7 @@ def trained_exp(data_dirs, tmp_path_factory):
     return exps[0]
 
 
+@pytest.mark.slow
 def test_train_cli_outputs(trained_exp):
     assert os.path.exists(os.path.join(trained_exp, "best_model"))
     assert os.path.exists(os.path.join(trained_exp, "latest_checkpoint"))
@@ -66,6 +67,7 @@ def test_train_cli_outputs(trained_exp):
     assert os.path.isdir(os.path.join(trained_exp, "code_snapshot"))
 
 
+@pytest.mark.slow
 def test_infer_cli_blocks(trained_exp, data_dirs, tmp_path):
     from pointcloud_bridge_tpu.infer_cli import main as infer_main
 
@@ -86,6 +88,7 @@ def test_infer_cli_blocks(trained_exp, data_dirs, tmp_path):
     assert os.path.exists(os.path.join(out, "evaluation_summary.png"))
 
 
+@pytest.mark.slow
 def test_infer_cli_scene_and_las_export(trained_exp, data_dirs, tmp_path):
     from pointcloud_bridge_tpu.infer_cli import main as infer_main
 

@@ -311,6 +311,7 @@ def test_ep_sharded_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_train_engine_ep(tmp_path):
     """train() with parallel.mode='ep' runs expert parallelism end-to-end on
     a (4, 2) (data, expert) mesh (round 4): experts_* leaves sharded through

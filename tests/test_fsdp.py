@@ -72,6 +72,7 @@ def test_fsdp_shards_params_and_moments():
     assert per_dev * 8 == total
 
 
+@pytest.mark.slow
 def test_fsdp_matches_single_device_step():
     """One FSDP step equals the single-device step. Plain-SGD transform so
     updated params compare directly (Adam turns last-ulp reduction-order
@@ -137,6 +138,7 @@ def test_fsdp_state_stays_sharded_across_steps():
         assert x.sharding.is_equivalent_to(sh, x.ndim), (x.shape, x.sharding)
 
 
+@pytest.mark.slow
 def test_train_engine_fsdp(tmp_path):
     """train() with parallel.mode='fsdp' runs ZeRO-3 end-to-end on the 8-way
     mesh (round 4): sharded params/moments through epochs + validation +

@@ -8,6 +8,7 @@ import pathlib
 import sys
 
 import jax
+import pytest
 
 _REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
@@ -22,11 +23,16 @@ def test_entry_compiles():
     assert out.shape == (4, 4096, 5)
 
 
+@pytest.mark.slow
+@pytest.mark.mesh
 def test_dryrun_direct_path():
     # conftest gives this process 8 virtual CPU devices -> direct path.
+    # The FULL 14-stage dryrun: ~410 s solo (dryrun_mode_walls.json) —
+    # slow tier per VERDICT r4 #3.
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_bootstrap_subprocess():
     # Force the subprocess bootstrap path the driver hits (its process has a
     # single axon device). The subprocess builds its own 2-device CPU mesh.

@@ -52,6 +52,7 @@ def trained():
     return out["model"], variables, (xyz, rgb, labels), va
 
 
+@pytest.mark.slow
 def test_block_inference_and_csv(trained, tmp_path):
     model, variables, _, va = trained
     res = run_block_inference(model, variables, va, num_classes=5, batch_size=4)
@@ -114,6 +115,7 @@ def test_whole_scene_vote_normalized_contract(trained):
     assert res["metrics"]["OA"] > 0.55
 
 
+@pytest.mark.slow
 def test_whole_scene_vote_device_gather_matches_host_path(trained):
     """Index-streaming vote inference (scene table gathered on device) must
     be bit-identical to the host block-assembly path."""
@@ -162,6 +164,7 @@ def test_whole_scene_vote_nine_mode_device_gather(trained):
     np.testing.assert_array_equal(host["vote_pool"], dev["vote_pool"])
 
 
+@pytest.mark.slow
 def test_whole_scene_vote_sharded_matches_single_device(trained):
     """Mesh-sharded vote inference (blocks axis over the 8-device CPU mesh)
     must produce identical predictions to the single-device path."""

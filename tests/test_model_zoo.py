@@ -126,6 +126,7 @@ def test_cls_models(name):
     assert out.shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_partsize_ssg_seg():
     m = get_model("pointnet2_sem_seg", num_classes=5)
     key = jax.random.PRNGKey(0)
@@ -136,6 +137,7 @@ def test_partsize_ssg_seg():
     assert out.shape == (2, 192, 5)
 
 
+@pytest.mark.slow
 def test_spg_forward():
     m = get_model("spg", num_classes=5, superpoint_size=16, knn_k=8)
     key = jax.random.PRNGKey(0)

@@ -156,6 +156,7 @@ def test_edgeconv_fast_path_grad_flows(rng, monkeypatch):
     assert all(np.isfinite(flat)) and sum(flat) > 0
 
 
+@pytest.mark.slow
 def test_ptv3_bf16_stream_matches_f32(rng):
     """bf16 residual stream (serving config): same param tree as f32, logits
     within bf16 tolerance, argmax almost everywhere identical."""

@@ -54,6 +54,7 @@ def _tree_close(a, b, tol=1e-6):
                                    rtol=tol)
 
 
+@pytest.mark.slow
 def test_multi_step_equals_sequential_steps():
     model = _model()
     cfg = Config()
@@ -94,6 +95,7 @@ def test_multi_step_equals_sequential_steps():
     )
 
 
+@pytest.mark.slow
 def test_multi_step_ema_matches_per_step_ema():
     model = _model()
     cfg = Config()
@@ -144,6 +146,7 @@ def test_group_batches_ragged_tail_and_shape_change():
     assert shapes == [(2, 4, 128, 3), (4, 128, 3), (2, 128, 3)]
 
 
+@pytest.mark.slow
 def test_train_engine_multistep_runs_and_matches(tmp_path):
     """train() with steps_per_dispatch=2 over an odd batch count (stacked
     group + single tail every epoch) matches the steps_per_dispatch=1 run's
@@ -204,6 +207,7 @@ def test_multistep_config_guards(tmp_path):
         train(cfg, None, exp_dir=str(tmp_path / "g"))
 
 
+@pytest.mark.slow
 def test_dp_multi_step_equals_sequential_dp_steps():
     """make_dp_multi_train_step(k) == k sequential make_dp_train_step calls
     on the 8-way mesh (plain-SGD transform; stacked batch sharded on dim 1)."""
@@ -255,6 +259,7 @@ def test_dp_multi_step_equals_sequential_dp_steps():
     assert jax.tree.leaves(st_m.params)[0].sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sp_multi_step_equals_sequential_sp_steps():
     """make_sp_multi_train_step(k) == k sequential make_sp_train_step calls
     on the 8-way mesh (query-sharded SSG, shard_inputs=False, plain SGD)."""
@@ -309,6 +314,7 @@ def test_sp_multi_step_equals_sequential_sp_steps():
                                atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_engine_sp_multistep_with_ema(tmp_path):
     """train() with parallel.mode=sp + steps_per_dispatch=2 + EMA runs
     end-to-end on the 8-way mesh (covers the EMA-threaded sp multi-step

@@ -41,6 +41,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_syncs():
     mesh = make_mesh()
     model = get_model(
@@ -62,6 +63,7 @@ def test_dp_train_step_runs_and_syncs():
     assert p0.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_grads():
     """One DP step over 8 shards == one single-device step on the full batch
     (same loss fn, sync-BN makes the math identical)."""
@@ -150,6 +152,7 @@ def test_train_engine_data_parallel(tmp_path):
     assert out["best_val_acc"] > 0
 
 
+@pytest.mark.slow
 def test_tp_2d_mesh_matches_single_device_step():
     """GSPMD (data=4, model=2) mesh: big Dense kernels column-sharded, one
     train step agrees with single-device math (loss to ~1e-5; Adam's
@@ -209,6 +212,7 @@ def test_tp_2d_mesh_matches_single_device_step():
     assert cos > 0.95, cos
 
 
+@pytest.mark.slow
 def test_train_engine_tp(tmp_path):
     """train() with parallel.mode='tp' runs GSPMD tensor parallelism
     end-to-end on a (4, 2) mesh (round 4): column-sharded Dense kernels
@@ -291,6 +295,7 @@ def test_sp_forward_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_sp_train_step_matches_single_device():
     """One SP train step (N sharded over 8 devices, ring attention, BN
     moments over the global point axis) must agree with single-device math:
@@ -356,6 +361,7 @@ def test_sp_train_step_matches_single_device():
     np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_train_step_weighted_ce_skewed_shards():
     """Advisor round-2 medium: with NON-uniform class weights and a class mix
     that differs per contiguous N-slice, the SP weighted-CE must still equal
@@ -425,6 +431,7 @@ def test_sp_train_step_rejects_non_decomposable_loss():
         make_sp_train_step(model, cfg.loss, make_optimizer(), mesh, axis="sp")
 
 
+@pytest.mark.slow
 def test_dp_sp_composite_train_step_matches_single_device():
     """Composite dp x sp on a (2, 4) mesh: batch over dp, N over sp (ring
     attention within each dp replica), BN moments over BOTH axes via a tuple
@@ -489,6 +496,7 @@ def test_dp_sp_composite_train_step_matches_single_device():
     np.testing.assert_allclose(bs_got, bs_ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sp_ssg_forward_matches_single_device():
     """Neighborhood-model SP (shard_inputs=False): PointNet2 SSG with the
     query axis sharded — FPS replicated, ball query/grouping/MLPs/head on
@@ -515,6 +523,7 @@ def test_sp_ssg_forward_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_sp_msg_forward_matches_single_device():
     from pointcloud_bridge_tpu.parallel import make_sp_forward
 
@@ -537,6 +546,7 @@ def test_sp_msg_forward_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_sp_ssg_train_step_matches_single_device():
     """SP train step for the neighborhood models: loss, update direction,
     and cross-shard BN running stats must match single-device math."""
@@ -598,6 +608,7 @@ def test_sp_ssg_train_step_matches_single_device():
     np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_bristrunet_forward_matches_single_device():
     """Flagship-model SP (shard_inputs=False): BriStruNet with the query
     axis sharded through BSE kNN/stats, the MSA levels, GFE, EnhancedFP,
@@ -624,6 +635,7 @@ def test_sp_bristrunet_forward_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_sp_bristrunet_train_step_matches_single_device():
     """SP train step for the flagship model: loss, update direction, and
     cross-shard BN running stats must match single-device math."""
@@ -772,6 +784,7 @@ def test_sp_windowed_ptv3_train_step_matches_single_device():
     np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_engine_sequence_parallel_ssg(tmp_path):
     """train() with parallel.mode='sp' runs the neighborhood-model SP path
     (shard_inputs inferred False: full inputs, query-axis sharding inside
@@ -794,6 +807,7 @@ def test_train_engine_sequence_parallel_ssg(tmp_path):
     assert out["best_val_acc"] > 0
 
 
+@pytest.mark.slow
 def test_train_engine_sequence_parallel_ptv3(tmp_path):
     """parallel.mode='sp' with the global-attention PTv3 infers
     shard_inputs=True (N axis sharded, ring attention)."""

@@ -85,6 +85,7 @@ def test_pp_forward_windowed_morton(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_single_device(rng):
     """One PP train step == one single-device train step: loss, every updated
     parameter (incl. stage-sharded trunk grads through the pipeline
@@ -183,6 +184,7 @@ def test_pp_rejects_indivisible_depth(rng):
         make_pp_forward(model, mesh)
 
 
+@pytest.mark.slow
 def test_dp_pp_composite_matches_single_device(rng):
     """dp x pp on a (2, 4) mesh == single-device step: the batch shards over
     dp (decomposed weighted-CE psum'd before dividing), blocks stage-shard
@@ -324,6 +326,7 @@ def test_pp_state_layout_roundtrip_with_moments(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_engine_pp(tmp_path):
     """train() with parallel.mode='pp' runs GPipe end-to-end on the 8-way
     mesh (round 4): stage-sharded blocks through epochs + validation + EMA +

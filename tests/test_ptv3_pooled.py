@@ -68,6 +68,7 @@ def test_unpool_parent_mapping(rng):
     assert not np.allclose(o[:, 0], o[:, 1])
 
 
+@pytest.mark.slow
 def test_forward_shape_and_determinism(rng):
     m = get_model("ptv3_pooled", num_classes=5, **TINY)
     xyz, feats = _batch(rng)
@@ -94,6 +95,7 @@ def test_serialization_round_trip_permutation_equivariance(rng):
     np.testing.assert_allclose(out_p, out[:, perm], rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_train_mode_grads_and_bn(rng):
     m = get_model("ptv3_pooled", num_classes=5, **TINY)
     xyz, feats = _batch(rng)
@@ -123,6 +125,7 @@ def test_train_mode_grads_and_bn(rng):
     assert not np.array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_remat_matches_plain(rng):
     xyz, feats = _batch(rng, b=1, n=64)
     kw = dict(dims=(16, 24), enc_depths=(1, 1), dec_depths=(1,),

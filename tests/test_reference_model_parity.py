@@ -448,6 +448,7 @@ def _det_random_sampling(torch):
     return fwd
 
 
+@pytest.mark.slow
 def test_randlanet_logits_parity(torch, ref_pkg, monkeypatch):
     """RandLANet (RandLANet.py:302-443): random sampling pinned to the same
     deterministic stride subset on both sides (the reference's unseeded

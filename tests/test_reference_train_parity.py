@@ -85,6 +85,7 @@ def _synthetic_batches(n_steps, b, n, num_classes, seed=0):
     return batches
 
 
+@pytest.mark.slow
 def test_pointnet2_train_trajectory_matches_reference(torch, ref_pkg, monkeypatch):
     import jax
     import jax.numpy as jnp

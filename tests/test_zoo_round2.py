@@ -49,6 +49,7 @@ def _run(name, feat_ch=3, n=192, train=False, **kw):
     return v, out
 
 
+@pytest.mark.slow
 def test_randlanet_ss_forward_and_train():
     _, out = _run("randlanet_ss")
     assert out.shape == (2, 192, 5)
@@ -253,6 +254,7 @@ def test_dgcnn_global_param_parity_with_reference_csv():
     np.testing.assert_allclose(out[:, 0], out[:, 50], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_eva_row_has_memory_and_note_fields():
     from pointcloud_bridge_tpu.bench.eva_model import DEFAULT_ZOO, evaluate_model
 
