@@ -26,8 +26,23 @@ PointTransformerV3.py:221-227) so checkpoints stay comparable.
 
 Constraints (static shapes under jit): N must be divisible by
 prod(strides), and each level's point count by that level's window size.
-Not wired for sp_axis/MoE (the flat model covers those modes); documented
-in PARITY §2.2.
+MoE is not wired here (the flat model covers it).
+
+Sequence parallelism (round 5, `sp_axis`): the shard_inputs=False contract
+of the flat windowed model, extended per level. Fixed-stride pooling on the
+Morton axis is LOCAL to a contiguous slice (a shard's children pool to
+exactly that shard's parents), so each U-Net level runs in one of two exact
+states: SHARDED — the sorted axis split into P contiguous window-aligned
+slices, attention/pool/unpool all on the 1/P slice — whenever the level's
+per-shard count holds complete windows; or FULL — the (tiny, coarse) level
+all_gathered and computed replicated on every shard, bit-identical to
+single-device math by construction. Levels transition with one tiled
+all_gather (sharded -> full) or one dynamic slice (full -> sharded); logits
+are all_gathered once before the inverse permutation. Exactness: every
+level is either a partition or a replica of the single-device computation
+(equality-tested on the 8-way CPU mesh in tests/test_ptv3_pooled.py). Set
+axis_name to the same axis so train-mode head BatchNorm moments span the
+full N.
 """
 
 from __future__ import annotations
@@ -108,6 +123,10 @@ class PointTransformerV3Pooled(nn.Module):
     head_drop_rate: float = 0.5  # head matches PointTransformerV3.py:226
     window_size: int = 1024
     axis_name: Optional[str] = None
+    # sequence parallelism (round 5): shard_inputs=False contract — full
+    # inputs on every shard, per-level sharded/full states (module
+    # docstring). Set axis_name to the same axis for train-mode BN.
+    sp_axis: Optional[str] = None
     compute_dtype: Optional[str] = None
     stream_dtype: Optional[str] = None
     remat: bool = False
@@ -162,7 +181,57 @@ class PointTransformerV3Pooled(nn.Module):
         order = jnp.argsort(code, axis=1)
         inv_order = jnp.argsort(order, axis=1)
         x = jnp.take_along_axis(x, order[..., None], axis=1)
-        xyz_l = jnp.take_along_axis(xyz, order[..., None], axis=1)
+        xyz_full = jnp.take_along_axis(xyz, order[..., None], axis=1)
+
+        # --- sequence-parallel level states (module docstring) -------------
+        levels = len(self.dims)
+        n_lv = [n]
+        for s in self.strides:
+            n_lv.append(n_lv[-1] // s)
+        sp = self.sp_axis
+        if sp:
+            from .common import sp_shard_slice
+
+            p = jax.lax.axis_size(sp)
+
+        def _mode(lv: int) -> str:
+            # "sharded": this level's per-shard slice holds complete windows
+            # (a partition of the same per-window math); "full": the level
+            # runs replicated on every shard (exact for the small coarse
+            # levels, and the fallback when windows would span shards).
+            if not sp:
+                return "single"
+            win = self._level_window(n_lv[lv])
+            if win and n_lv[lv] % p == 0 and (n_lv[lv] // p) % win == 0:
+                return "sharded"
+            return "full"
+
+        modes = [_mode(lv) for lv in range(levels)]
+
+        def _to_mode(t, cur: str, want: str):
+            # one collective (or slice) per level transition
+            if cur == "full" and want == "sharded":
+                return sp_shard_slice(t, sp)
+            if cur == "sharded" and want == "full":
+                return jax.lax.all_gather(t, sp, axis=1, tiled=True)
+            return t
+
+        def _level_xyz(lv: int):
+            xyz_lvl = xyz_lv[lv]
+            if modes[lv] == "sharded":
+                return sp_shard_slice(xyz_lvl, sp)
+            return xyz_lvl
+
+        # per-level xyz stays FULL on every shard (pooling it is one tiny
+        # parameter-free segment mean); sliced on demand for pos embeddings
+        xyz_lv = [xyz_full]
+        for lv, s in enumerate(self.strides):
+            xyz_lv.append(
+                jnp.mean(xyz_lv[-1].reshape(b, n_lv[lv + 1], s, 3), axis=2)
+            )
+
+        if modes[0] == "sharded":  # embed only this shard's slice
+            x = sp_shard_slice(x, sp)
 
         x = nn.Dense(self.dims[0], dtype=self.compute_dtype,
                      name="patch_embed")(x)
@@ -177,13 +246,16 @@ class PointTransformerV3Pooled(nn.Module):
             else PointTransformerBlock
         )
 
-        def run_blocks(x, xyz_lvl, dim, count, tag):
+        def run_blocks(x, lv, count, tag):
+            dim = self.dims[lv]
             pos = nn.Dense(dim, dtype=self.compute_dtype,
-                           name=f"{tag}_pos")(xyz_lvl)
+                           name=f"{tag}_pos")(_level_xyz(lv))
             if sdt is not None:
                 x = x.astype(sdt)
                 pos = pos.astype(sdt)
-            win = self._level_window(x.shape[1])
+            # window from the GLOBAL level count (a sharded level's local
+            # slice holds complete windows of the same size — exact)
+            win = self._level_window(n_lv[lv])
             heads = max(1, dim // self.head_dim)
             for i in range(count):
                 x = block_cls(
@@ -194,33 +266,41 @@ class PointTransformerV3Pooled(nn.Module):
                     self.drop_rate,
                     self.attn_drop_rate,
                     win,
-                    None,  # sp_axis unsupported here (flat model covers SP)
+                    None,  # never ring: windows/full levels need no halo
                     self.compute_dtype,
                     stream_dtype=self.stream_dtype,
                     name=f"{tag}_block{i}",
                 )(x, pos, train)
             return x.astype(jnp.float32) if sdt is not None else x
 
-        levels = len(self.dims)
-        skips = []  # (x, xyz) per encoder level, finest first
+        skips = []  # encoder output per level (in that level's mode)
         for lv in range(levels):
-            x = run_blocks(x, xyz_l, self.dims[lv], self.enc_depths[lv],
-                           f"enc{lv}")
+            x = run_blocks(x, lv, self.enc_depths[lv], f"enc{lv}")
             if lv < levels - 1:
-                skips.append((x, xyz_l))
-                x, xyz_l = SerializedPool(
+                skips.append(x)
+                if modes[lv] == "sharded" and x.shape[1] % self.strides[lv]:
+                    raise ValueError(
+                        f"sp pooling: per-shard count {x.shape[1]} not "
+                        f"divisible by stride {self.strides[lv]}"
+                    )
+                x, _ = SerializedPool(
                     self.strides[lv], self.dims[lv + 1], self.compute_dtype,
                     name=f"pool{lv}",
-                )(x, xyz_l)
+                )(x, _level_xyz(lv))
+                if sp:
+                    x = _to_mode(x, modes[lv], modes[lv + 1])
 
         for lv in range(levels - 2, -1, -1):
-            skip_x, xyz_l = skips[lv]
+            if sp:
+                # a shard's children pool to exactly that shard's parents
+                # (contiguous nesting), so the child level's parent slice IS
+                # the coarse level's shard slice
+                x = _to_mode(x, modes[lv + 1], modes[lv])
             x = SerializedUnpool(
                 self.strides[lv], self.dims[lv], self.compute_dtype,
                 name=f"unpool{lv}",
-            )(x, skip_x)
-            x = run_blocks(x, xyz_l, self.dims[lv], self.dec_depths[lv],
-                           f"dec{lv}")
+            )(x, skips[lv])
+            x = run_blocks(x, lv, self.dec_depths[lv], f"dec{lv}")
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = nn.Dense(256, name="head_fc1")(x)
@@ -231,4 +311,6 @@ class PointTransformerV3Pooled(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(self.head_drop_rate, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, name="head_fc2")(x)
+        if sp and modes[0] == "sharded":
+            logits = jax.lax.all_gather(logits, sp, axis=1, tiled=True)
         return jnp.take_along_axis(logits, inv_order[..., None], axis=1)

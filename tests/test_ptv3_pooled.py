@@ -170,3 +170,107 @@ def test_engine_train_one_epoch(tmp_path):
     }
     out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
     assert np.isfinite(out["history"][-1]["train_loss"])
+
+
+# --- sequence parallelism (round 5): per-level sharded/full states ---------
+# The 512-pt / window-32 config exercises all three level states on the
+# 8-way mesh: level 0 (512 pts, 64/shard) SHARDED windowed; level 1
+# (128 pts, 16/shard < window) FULL windowed fallback; level 2 (32 pts
+# <= window) FULL global attention.
+SP_KW = dict(
+    num_classes=5, dims=(32, 64, 64), enc_depths=(1, 1, 1),
+    dec_depths=(1, 1), strides=(4, 4), window_size=32,
+)
+
+
+@pytest.mark.slow
+@pytest.mark.mesh
+def test_sp_pooled_forward_matches_single_device():
+    from pointcloud_bridge_tpu.parallel import make_mesh, make_sp_forward
+
+    rng = np.random.default_rng(8)
+    b, n = 2, 512
+    xyz = rng.uniform(size=(b, n, 3)).astype(np.float32)
+    feats = rng.uniform(size=(b, n, 3)).astype(np.float32)
+
+    ref_model = get_model("ptv3_pooled", **SP_KW)
+    variables = ref_model.init(
+        jax.random.PRNGKey(0), xyz[:1], feats[:1], train=False
+    )
+    want = np.asarray(ref_model.apply(variables, xyz, feats, train=False))
+
+    sp_model = get_model("ptv3_pooled", sp_axis="sp", **SP_KW)
+    mesh = make_mesh(axis="sp")
+    fwd = make_sp_forward(sp_model, mesh, axis="sp", shard_inputs=False)
+    got = np.asarray(fwd(variables, jnp.asarray(xyz), jnp.asarray(feats)))
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.mesh
+def test_sp_pooled_train_step_matches_single_device():
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.parallel import make_mesh, make_sp_train_step
+    from pointcloud_bridge_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(9)
+    b, n = 2, 512
+    batch = {
+        "points": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "colors": rng.uniform(size=(b, n, 3)).astype(np.float32),
+        "labels": rng.integers(0, 5, (b, n)).astype(np.int32),
+        "mask": np.ones(b, bool),
+        "block_ids": np.arange(b, dtype=np.int32),
+    }
+    cfg = Config()
+    cfg.loss.name = "weighted_ce"
+    cfg.loss.use_class_weights = True
+    opt = make_optimizer()
+    key = jax.random.PRNGKey(0)
+    kw = dict(SP_KW, drop_rate=0.0, attn_drop_rate=0.0, head_drop_rate=0.0)
+
+    ref_model = get_model("ptv3_pooled", **kw)
+    state0 = create_train_state(ref_model, key, batch, opt)
+    p0 = jax.tree.map(np.asarray, state0.params)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    cw = jnp.asarray([0.5, 1.0, 2.0, 1.5, 0.25], jnp.float32)
+    ref_step = make_train_step(ref_model, cfg.loss, opt, donate=False)
+    s_ref, m_ref = ref_step(state0, jb, jnp.float32(1e-3), cw, key)
+
+    sp_model = get_model("ptv3_pooled", sp_axis="sp", axis_name="sp", **kw)
+    mesh = make_mesh(axis="sp")
+    sp_step = make_sp_train_step(sp_model, cfg.loss, opt, mesh, axis="sp",
+                                 donate=False, shard_inputs=False)
+    s_sp, m_sp = sp_step(
+        state0,
+        {k: jnp.asarray(batch[k]) for k in ("points", "colors", "labels")},
+        jnp.float32(1e-3), cw, key,
+    )
+    np.testing.assert_allclose(
+        float(m_sp["loss"]), float(m_ref["loss"]), rtol=2e-4
+    )
+
+    def flat(tree, base):
+        return np.concatenate([
+            (np.asarray(x) - np.asarray(y)).ravel()
+            for x, y in zip(jax.tree.leaves(tree), jax.tree.leaves(base))
+        ])
+
+    d_sp, d_ref = flat(s_sp.params, p0), flat(s_ref.params, p0)
+    cos = float(
+        d_sp @ d_ref
+        / (np.linalg.norm(d_sp) * np.linalg.norm(d_ref) + 1e-12)
+    )
+    assert cos > 0.999, f"sp update diverges (cos={cos})"
+    # head BN moments must span the full N (axis_name pmean)
+    bs_sp = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree.leaves(s_sp.batch_stats)]
+    )
+    bs_ref = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree.leaves(s_ref.batch_stats)]
+    )
+    np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-4, atol=1e-6)
