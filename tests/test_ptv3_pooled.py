@@ -274,3 +274,31 @@ def test_sp_pooled_train_step_matches_single_device():
         [np.asarray(x).ravel() for x in jax.tree.leaves(s_ref.batch_stats)]
     )
     np.testing.assert_allclose(bs_sp, bs_ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.mesh
+def test_train_engine_sp_pooled(tmp_path):
+    """parallel.mode='sp' with ptv3_pooled: the engine infers the
+    shard_inputs=False contract (model-internal per-level slicing) and
+    drives epochs + val through the 8-way mesh."""
+    from pointcloud_bridge_tpu.config import Config
+    from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
+    from pointcloud_bridge_tpu.data.synthetic import toy_bridge_scene
+    from pointcloud_bridge_tpu.train import train
+
+    xyz, rgb, labels = toy_bridge_scene(10000, seed=1)
+    blocks = make_training_blocks(xyz, rgb, labels, num_points=128,
+                                  block_size=6.0, sample_rate=0.3)
+    ds = BlockDataset.from_blocks(blocks, ["toy"])
+    cfg = Config.from_dict({"num_classes": 5, "batch_size": 4,
+                            "num_epochs": 2, "model": "ptv3_pooled"})
+    cfg.model.extra = {
+        "dims": (16, 16, 16), "enc_depths": (1, 1, 1), "dec_depths": (1, 1),
+        "strides": (4, 4), "window_size": 8,
+    }
+    cfg.parallel.num_devices = -1
+    cfg.parallel.mode = "sp"
+    out = train(cfg, ds, ds, exp_dir=str(tmp_path / "exp"))
+    assert len(out["history"]) == 2
+    assert out["best_val_acc"] > 0
