@@ -69,27 +69,32 @@ def _forward_seconds(name: str, kwargs: dict) -> float:
     return sec, n_params
 
 
-def speed() -> None:
+def speed(n: int = N) -> None:
+    global N
+    N = n
     rows = {}
-    for label, name, kw in (
-        ("flat_global_384x8", "ptv3", FLAT_TRAINED),
+    configs = [
         ("flat_win512", "ptv3", FLAT_WIN),
         ("flat_win512_bf16", "ptv3", {**FLAT_WIN, "stream_dtype": "bfloat16"}),
         ("pooled", "ptv3_pooled", POOLED),
-        ("pooled_bf16", "ptv3_pooled",
-         {**POOLED, "stream_dtype": "bfloat16"}),
-    ):
+    ]
+    if n <= 4096:  # global attention's NxN scores blow up past this
+        configs.insert(0, ("flat_global_384x8", "ptv3", FLAT_TRAINED))
+        configs.append(("pooled_bf16", "ptv3_pooled",
+                        {**POOLED, "stream_dtype": "bfloat16"}))
+    for label, name, kw in configs:
         sec, n_params = _forward_seconds(name, kw)
         rows[label] = {
             "ms_fwd": round(sec * 1e3, 3),
-            "points_per_sec": round(B * N / sec, 1),
+            "points_per_sec": round(B * n / sec, 1),
             "params": int(n_params),
         }
         print(f"{label:22s}: {sec * 1e3:7.2f} ms/fwd  "
-              f"({B * N / sec / 1e6:6.2f}M pts/s, {n_params/1e6:.1f}M params)",
+              f"({B * n / sec / 1e6:6.2f}M pts/s, {n_params/1e6:.1f}M params)",
               flush=True)
-    out = {"shape": {"B": B, "N": N}, "rows": rows}
-    path = os.path.join("benchmark_results", "pooled_probe.json")
+    out = {"shape": {"B": B, "N": n}, "rows": rows}
+    suffix = "" if n == 4096 else f"_n{n}"
+    path = os.path.join("benchmark_results", f"pooled_probe{suffix}.json")
     os.makedirs("benchmark_results", exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
@@ -181,7 +186,7 @@ def quality(workdir: str = "/tmp/pcb_pooled_quality",
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "speed"
     if cmd == "speed":
-        speed()
+        speed(*(int(a) for a in sys.argv[2:3]))
     elif cmd == "quality":
         quality(*sys.argv[2:3])
     else:

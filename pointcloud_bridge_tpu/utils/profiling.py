@@ -66,12 +66,16 @@ def device_time(fn: Callable, *args, iters: int = 10) -> float:
     x, rest = args[0], args[1:]
     np.asarray(run(x, rest, iters))
     np.asarray(run(x, rest, 1))
-    t0 = time.perf_counter()
-    np.asarray(run(x, rest, iters))
-    tk = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(run(x, rest, 1))
-    t1 = time.perf_counter() - t0
+    # T_K and T_1 each MIN over reps before differencing (relay dispatch
+    # jitter is multi-ms; differencing single trials can go negative)
+    tk = t1 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(x, rest, iters))
+        tk = min(tk, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(run(x, rest, 1))
+        t1 = min(t1, time.perf_counter() - t0)
     return max((tk - t1) / (iters - 1), 1e-9)
 
 
