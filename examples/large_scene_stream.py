@@ -9,7 +9,15 @@ host gridding (infer/vote.py device_gather). This is the "arbitrarily
 large scan" capability the reference only has at Python-loop speed
 (Partsize test_sem_seg.py:58-65).
 
-Usage:  python examples/large_scene_stream.py [n_points_millions]
+Usage:  python examples/large_scene_stream.py [n_points_millions] [model]
+                                              [block_points]
+
+`model` defaults to pointnet2_ssg (the smallest servable model — the
+historical demo configuration). `model=ptv3_pooled` serves the hierarchical
+transformer at large blocks (block_points defaults to 16384 there): the
+U-Net's fixed-stride Morton pooling makes transformer-class quality
+affordable at whole-scene scale — 4x fewer blocks per vote and ~0.24 us/pt
+device cost (benchmark_results/pooled_probe_n16384.json).
 """
 
 from __future__ import annotations
@@ -38,7 +46,20 @@ def main():
 
     n_m = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0
     n_points = int(n_m * 1e6)
-    num_classes, block_points = 5, 4096
+    model_name = sys.argv[2] if len(sys.argv) > 2 else "pointnet2_ssg"
+    num_classes = 5
+    block_points = (
+        int(sys.argv[3]) if len(sys.argv) > 3
+        else (16384 if model_name == "ptv3_pooled" else 4096)
+    )
+    # keep points-per-device-batch constant as blocks grow
+    vote_batch = max(1, (32 * 4096) // block_points)
+    model_extra = {}
+    if model_name == "ptv3_pooled":
+        # levels block_points / 4 / 16, window 1024 (pooled_probe config)
+        model_extra = {"dims": (64, 128, 256), "enc_depths": (2, 2, 6),
+                      "dec_depths": (1, 1), "strides": (4, 4),
+                      "window_size": 1024}
 
     print(f"generating {n_points:,}-point synthetic bridge scene...")
     xyz, rgb, labels = toy_bridge_scene(n_points, seed=0)
@@ -50,16 +71,21 @@ def main():
     from pointcloud_bridge_tpu.data import BlockDataset, make_training_blocks
     from pointcloud_bridge_tpu.train import train
 
+    # block spatial size scales as sqrt(points-per-block) so density matches
+    train_bs = 6.0 * (block_points / 4096) ** 0.5
     txyz, trgb, tlabels = toy_bridge_scene(300_000, seed=1)
     blocks = make_training_blocks(
-        txyz, trgb, tlabels, num_points=block_points, block_size=6.0,
+        txyz, trgb, tlabels, num_points=block_points, block_size=train_bs,
         sample_rate=1.0, file_name="toy", seed=0,
     )
     tr = BlockDataset.from_blocks(blocks, ["toy"], augment=True)
     cfg = Config.from_dict({
         "case": "stream_demo", "num_classes": num_classes, "batch_size": 4,
-        "num_epochs": 4, "learning_rate": 1e-3, "model": "pointnet2_ssg",
+        "num_epochs": 4, "learning_rate": 1e-3, "model": model_name,
+        "num_points": block_points,
     })
+    if model_extra:
+        cfg.model.extra = dict(model_extra)
     print("quick-training on a 300k-point scene (4 epochs)...")
     res = train(cfg, tr, None, exp_dir="/tmp/stream_demo_exp")
     model = res["model"]
@@ -72,7 +98,7 @@ def main():
     # units (8 m raw / scene radius).
     centered = xyz - xyz.mean(axis=0, keepdims=True)
     radius = float(np.sqrt((centered**2).sum(axis=1)).max())
-    bs_norm = 8.0 / radius
+    bs_norm = 8.0 * (block_points / 4096) ** 0.5 / radius
     stride_norm = 0.75 * bs_norm
 
     # warm-up: compile the gather+forward executable for THIS scene's table
@@ -81,14 +107,15 @@ def main():
     whole_scene_vote_predict(
         model, variables, points6, labels, np.ones(num_classes),
         num_classes, block_points=block_points, block_size=bs_norm,
-        stride=8 * bs_norm, num_votes=1, batch_size=32, normalize_scene=True,
+        stride=8 * bs_norm, num_votes=1, batch_size=vote_batch,
+        normalize_scene=True,
     )
 
     t0 = time.time()
     out = whole_scene_vote_predict(
         model, variables, points6, labels, np.ones(num_classes), num_classes,
         block_points=block_points, block_size=bs_norm, stride=stride_norm,
-        num_votes=3, batch_size=32, normalize_scene=True,
+        num_votes=3, batch_size=vote_batch, normalize_scene=True,
         collect_timings=True,
     )
     wall = time.time() - t0
@@ -114,6 +141,7 @@ def main():
     tm = out["timings"]
     artifact = {
         "n_points": n_points,
+        "model": model_name,
         "num_votes": 3,
         "block_points": block_points,
         "wall_s": round(wall, 2),
@@ -133,7 +161,8 @@ def main():
     out_path = os.environ.get("PCB_STREAM_JSON")
     if out_path is None:
         os.makedirs("benchmark_results", exist_ok=True)
-        out_path = f"benchmark_results/large_scene_phases_{n_m:g}M.json"
+        tag = "" if model_name == "pointnet2_ssg" else f"_{model_name}"
+        out_path = f"benchmark_results/large_scene_phases_{n_m:g}M{tag}.json"
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
     print("phase artifact ->", out_path)

@@ -10,8 +10,10 @@ Measures, chained-jit amortized (CLAUDE.md methodology), at B=4:
 - inv_scatter: zeros.at[order].set(iota)  (candidate replacement: one sort
                                            fewer; exact — a permutation
                                            scatter IS the inverse)
-- gathers:     take_along_axis of the [B,N,6] features + [B,N,3] xyz +
-               [B,N,5] logits (the three permutation applications)
+- gathers:     take_along_axis of the [B,N,6] features + [B,N,5] logits (the
+               two in-model permutation applications; the xyz gather was
+               eliminated in round 5 — the sorted features' first 3 channels
+               ARE xyz, so the model slices instead: 86.6 -> 82.2 ms at 65k)
 - model:       the full ptv3_pooled forward (prod config)
 
 Run on the real TPU, solo. Writes benchmark_results/pooled_break.json.
@@ -83,13 +85,14 @@ def probe(n: int) -> dict:
     t("inv_scatter", inv_scatter, of[..., None])
 
     def gathers(o):
-        # all three permutation applications derive their indices from the
-        # perturbed input so XLA cannot hoist any of them out of the chain
+        # both in-model permutation applications derive their indices from
+        # the perturbed input so XLA cannot hoist them out of the chain
+        # (xyz is sliced from the sorted features since round 5, not
+        # re-gathered — models/ptv3_pooled.py)
         oi = jnp.clip(o[..., 0].astype(jnp.int32), 0, n - 1)[..., None]
         g1 = jnp.take_along_axis(feats6, oi, axis=1)
-        g2 = jnp.take_along_axis(xyz, oi, axis=1)
         g3 = jnp.take_along_axis(logits, oi, axis=1)
-        return g1 + jnp.concatenate([g2, g3], axis=-1)[..., :6]
+        return g1 + jnp.pad(g3, ((0, 0), (0, 0), (0, 1)))
 
     t("gathers", gathers, of[..., None])
 

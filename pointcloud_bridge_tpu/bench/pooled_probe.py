@@ -80,8 +80,10 @@ def speed(n: int = N) -> None:
     ]
     if n <= 4096:  # global attention's NxN scores blow up past this
         configs.insert(0, ("flat_global_384x8", "ptv3", FLAT_TRAINED))
-        configs.append(("pooled_bf16", "ptv3_pooled",
-                        {**POOLED, "stream_dtype": "bfloat16"}))
+    # bf16 stream re-probed at EVERY N: negative at 4096 (coarse attention
+    # not HBM-bound there) but the fine level's share grows with N
+    configs.append(("pooled_bf16", "ptv3_pooled",
+                    {**POOLED, "stream_dtype": "bfloat16"}))
     for label, name, kw in configs:
         sec, n_params = _forward_seconds(name, kw)
         rows[label] = {

@@ -388,7 +388,15 @@ class PointTransformerV3(nn.Module):
             order = jnp.argsort(code, axis=1)
             inv_order = jnp.argsort(order, axis=1)
             x = jnp.take_along_axis(x, order[..., None], axis=1)
-            xyz = jnp.take_along_axis(xyz, order[..., None], axis=1)
+            # x's first 3 channels ARE xyz (concat'd above; padding appends,
+            # truncation keeps a prefix), so slice the already-permuted rows
+            # instead of paying a second per-row-bound [B,N,3] gather
+            # (bit-identical; the gathers are 11-13% of the pooled forward —
+            # benchmark_results/pooled_break.json).
+            if self.d_in >= 3:
+                xyz = x[..., :3]
+            else:
+                xyz = jnp.take_along_axis(xyz, order[..., None], axis=1)
         if sp_windowed:
             from .common import sp_shard_slice
 

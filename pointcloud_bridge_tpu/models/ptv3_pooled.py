@@ -181,7 +181,14 @@ class PointTransformerV3Pooled(nn.Module):
         order = jnp.argsort(code, axis=1)
         inv_order = jnp.argsort(order, axis=1)
         x = jnp.take_along_axis(x, order[..., None], axis=1)
-        xyz_full = jnp.take_along_axis(xyz, order[..., None], axis=1)
+        # x's first 3 channels ARE xyz (concat'd above; padding appends,
+        # truncation keeps a prefix) — slice the already-permuted rows
+        # instead of a second per-row-bound [B,N,3] gather (bit-identical;
+        # gathers dominate the 11-13% serialization share, pooled_break.json).
+        if self.d_in >= 3:
+            xyz_full = x[..., :3]
+        else:
+            xyz_full = jnp.take_along_axis(xyz, order[..., None], axis=1)
 
         # --- sequence-parallel level states (module docstring) -------------
         levels = len(self.dims)
