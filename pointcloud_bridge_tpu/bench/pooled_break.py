@@ -1,7 +1,7 @@
 """ptv3_pooled component accounting: where does the forward go, and does the
 serialization (Morton code + sorts + permutation gathers) explain the
-per-point cost growth at large N (0.70 -> 1.33 us/pt from 4k to 65k —
-PARITY §6 pooled paragraph)?
+per-point cost growth at large N (0.35 -> 0.83 us/pt from 4k to 65k with
+the w=1024 windowed-flash default — PARITY §6 pooled paragraph)?
 
 Measures, chained-jit amortized (CLAUDE.md methodology), at B=4:
 - morton:      morton_code(xyz)

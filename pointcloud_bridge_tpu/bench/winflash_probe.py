@@ -9,6 +9,11 @@ flagged as unmeasured. This probe times the whole windowed model and the
 folded attention op standalone, XLA vs PCB_FLASH_WINDOWED=1, with the
 amortized chained-jit method (CLAUDE.md), and checks numerics agreement.
 
+Verdict (v5e): flash 0.63x XLA at w=512 d8h2 — XLA stays the w=512
+default. Round 5 re-measured the w=1024/D=32 fold (ptv3_pooled's regime,
+`winflash_pooled.py`) and flash WINS there (1.9x fwd at N=4096), so w=1024
+windows take flash by default while w=512 stays opt-in.
+
 Usage: python -m pointcloud_bridge_tpu.bench.winflash_probe
 """
 

@@ -101,18 +101,23 @@ def _attention(q, k, v, is_global: bool = True):
     # try/except below.
     dd = getattr(jax.config, "jax_default_device", None)
     # Windowed attention (is_global=False, n == window size after the
-    # [B*nw, W, ...] fold) may opt into the flash kernel with
-    # PCB_FLASH_WINDOWED=1: at W=512 the BlockSizes min() below collapses to
-    # one 512-block per axis. MEASURED NEGATIVE on v5e (bench/
-    # winflash_probe.py, w=512 d8h2 B=4 N=4096): flash 16.8 vs XLA 10.6
-    # ms/fwd (0.63x) — the folded score tiles are 8x smaller than global
-    # N=4096 and no longer HBM-bound, so kernel overhead plus the D=192->256
-    # pad outweigh the VMEM win. XLA stays the windowed default; the knob
-    # remains for other shapes.
+    # [B*nw, W, ...] fold): flash is DEFAULT-ON at W=1024 and opt-in
+    # (PCB_FLASH_WINDOWED=1) at W=512; PCB_FLASH_WINDOWED=0 disables both.
+    # The split is measured, not guessed (round 5, /tmp->PARITY §6):
+    # - W=512 d8h2 (flat model, D=192->256 pad): flash 16.8 vs XLA 10.6
+    #   ms/fwd (0.63x, bench/winflash_probe.py) — the folded score tiles
+    #   aren't HBM-bound and the pad costs; XLA stays that default.
+    # - W=1024 (ptv3_pooled, D=32, no pad): the XLA path materializes
+    #   [B*nw, H, 1024, 1024] scores (~2 GB/layer at N=65536) and flash is
+    #   a clean win — pooled fwd 2.64 -> 1.40 ms at N=4096 (1.9x), 82.1 ->
+    #   54.7 ms at N=65536 (1.5x), fwd+bwd 9.24 -> 6.68 ms (1.38x); argmax
+    #   agreement 0.996, max|dlogit| 0.017 (softmax reassociation only,
+    #   same band as the global flash default).
+    fw_env = os.environ.get("PCB_FLASH_WINDOWED", "")
     flash_windowed = (
         not is_global
-        and os.environ.get("PCB_FLASH_WINDOWED", "0") == "1"
-        and n in (512, 1024)
+        and fw_env != "0"
+        and (n == 1024 or (fw_env == "1" and n == 512))
     )
     if (
         os.environ.get("PCB_FLASH_ATTN", "1") != "0"

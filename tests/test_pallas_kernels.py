@@ -240,6 +240,34 @@ def test_ptv3_windowed_flash_attention_matches_xla_on_tpu(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires TPU hardware"
+)
+def test_ptv3_windowed_flash_w1024_default_matches_xla_on_tpu(
+    rng, monkeypatch
+):
+    """W=1024 windows take the flash kernel BY DEFAULT since round 5
+    (ptv3_pooled's regime: D=32, no pad — measured 1.9x/1.5x at N=4k/65k);
+    parity vs the XLA lowering at the pooled fold shape."""
+    from pointcloud_bridge_tpu.models.ptv3 import _attention
+
+    b_nw, w, heads, d = 8, 1024, 2, 32  # pooled level fold, head_dim 32
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b_nw, w, heads, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    monkeypatch.delenv("PCB_FLASH_ATTN", raising=False)
+    monkeypatch.delenv("PCB_FLASH_WINDOWED", raising=False)
+    got = np.asarray(
+        jax.jit(lambda q, k, v: _attention(q, k, v, is_global=False))(q, k, v)
+    )
+    monkeypatch.setenv("PCB_FLASH_ATTN", "0")
+    want = np.asarray(
+        jax.jit(lambda q, k, v: _attention(q, k, v, is_global=False))(q, k, v)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # fused k-NN interpolation kernel (interp3)
 # ---------------------------------------------------------------------------
